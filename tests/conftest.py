@@ -1,0 +1,23 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Must set the XLA flags BEFORE jax is imported anywhere, so this lives at the
+top of conftest and tests must not import jax at module scope before pytest
+collects this file.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.RandomState(0)
