@@ -1,0 +1,206 @@
+"""ResNet backbone family (Flax, NHWC, TPU-first).
+
+Re-implements the capability surface of the reference's torchvision-style
+ResNet (``model/backbone/resnet.py:40-267`` with registrations at
+``:270-400``): BasicBlock/Bottleneck, groups/width for ResNeXt and Wide
+variants, and a ``ResNet50``/``ResNet101`` Baseline classifier registered in
+the MODEL registry (``model/backbone/resnet.py:403-412``).
+
+TPU-first choices (deliberately NOT a translation):
+- NHWC layout end-to-end (XLA TPU native); bf16 compute with f32 params and
+  f32 BatchNorm statistics.
+- Stage outputs are returned as a dict so method heads (NTS/CrossX/APCNN/...)
+  tap intermediate feature maps without forward hooks.
+- BatchNorm is per-device by default (matches the reference's DataParallel
+  per-replica statistics, SURVEY §7); pass ``bn_cross_replica_axis`` to sync
+  over a mesh axis instead.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ...registry import BACKBONE, MODEL
+
+ModuleDef = Any
+
+
+class BasicBlock(nn.Module):
+    """Two 3x3 convs. Expansion 1."""
+
+    filters: int
+    stride: int = 1
+    downsample: bool = False
+    groups: int = 1
+    base_width: int = 64
+    norm: ModuleDef = None
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    expansion = 1
+
+    @nn.compact
+    def __call__(self, x):
+        conv = partial(
+            nn.Conv, use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype
+        )
+        identity = x
+        out = conv(self.filters, (3, 3), strides=(self.stride, self.stride),
+                   padding=[(1, 1), (1, 1)], name="conv1")(x)
+        out = self.norm(name="bn1")(out)
+        out = nn.relu(out)
+        out = conv(self.filters, (3, 3), padding=[(1, 1), (1, 1)], name="conv2")(out)
+        out = self.norm(name="bn2")(out)
+        if self.downsample:
+            identity = conv(self.filters * self.expansion, (1, 1),
+                            strides=(self.stride, self.stride), name="downsample_conv")(x)
+            identity = self.norm(name="downsample_bn")(identity)
+        return nn.relu(out + identity)
+
+
+class Bottleneck(nn.Module):
+    """1x1 reduce, 3x3 (stride here = ResNet v1.5), 1x1 expand. Expansion 4."""
+
+    filters: int
+    stride: int = 1
+    downsample: bool = False
+    groups: int = 1
+    base_width: int = 64
+    norm: ModuleDef = None
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    expansion = 4
+
+    @nn.compact
+    def __call__(self, x):
+        conv = partial(
+            nn.Conv, use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype
+        )
+        width = int(self.filters * (self.base_width / 64.0)) * self.groups
+        identity = x
+        out = conv(width, (1, 1), name="conv1")(x)
+        out = self.norm(name="bn1")(out)
+        out = nn.relu(out)
+        out = conv(width, (3, 3), strides=(self.stride, self.stride),
+                   padding=[(1, 1), (1, 1)], feature_group_count=self.groups,
+                   name="conv2")(out)
+        out = self.norm(name="bn2")(out)
+        out = nn.relu(out)
+        out = conv(self.filters * self.expansion, (1, 1), name="conv3")(out)
+        out = self.norm(name="bn3")(out)
+        if self.downsample:
+            identity = conv(self.filters * self.expansion, (1, 1),
+                            strides=(self.stride, self.stride), name="downsample_conv")(x)
+            identity = self.norm(name="downsample_bn")(identity)
+        return nn.relu(out + identity)
+
+
+class ResNet(nn.Module):
+    """ResNet v1.5 trunk.
+
+    ``__call__(x, train)`` returns a dict of stages:
+      ``stem`` (post maxpool), ``c2``..``c5`` (layer1..layer4 outputs, NHWC),
+      ``pool`` (global average pooled, f32), ``logits`` (if num_classes>0).
+    """
+
+    block_cls: ModuleDef
+    stage_sizes: Sequence[int]
+    num_classes: int = 0
+    groups: int = 1
+    width_per_group: int = 64
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+    bn_momentum: float = 0.9
+    bn_epsilon: float = 1e-5
+    bn_cross_replica_axis: str | None = None
+    strides: Sequence[int] = (1, 2, 2, 2)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        norm = partial(
+            nn.BatchNorm,
+            use_running_average=not train,
+            momentum=self.bn_momentum,
+            epsilon=self.bn_epsilon,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            axis_name=self.bn_cross_replica_axis,
+        )
+        x = x.astype(self.dtype)
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+                    use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype,
+                    name="conv1")(x)
+        x = norm(name="bn1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+
+        stages = {"stem": x}
+        filters = 64
+        for i, (num_blocks, stride) in enumerate(zip(self.stage_sizes, self.strides)):
+            for j in range(num_blocks):
+                blk_stride = stride if j == 0 else 1
+                needs_down = j == 0 and (
+                    blk_stride != 1
+                    or x.shape[-1] != filters * self.block_cls.expansion
+                )
+                x = self.block_cls(
+                    filters=filters,
+                    stride=blk_stride,
+                    downsample=needs_down,
+                    groups=self.groups,
+                    base_width=self.width_per_group,
+                    norm=norm,
+                    dtype=self.dtype,
+                    param_dtype=self.param_dtype,
+                    name=f"layer{i + 1}_{j}",
+                )(x)
+            stages[f"c{i + 2}"] = x
+            filters *= 2
+
+        pooled = jnp.mean(x, axis=(1, 2)).astype(jnp.float32)
+        stages["pool"] = pooled
+        if self.num_classes > 0:
+            logits = nn.Dense(self.num_classes, dtype=jnp.float32,
+                              param_dtype=self.param_dtype, name="fc")(pooled)
+            stages["logits"] = logits
+        return stages
+
+
+_RESNET_DEFS = {
+    # name: (block, stage_sizes, groups, width_per_group)
+    "resnet18": (BasicBlock, (2, 2, 2, 2), 1, 64),
+    "resnet34": (BasicBlock, (3, 4, 6, 3), 1, 64),
+    "resnet50": (Bottleneck, (3, 4, 6, 3), 1, 64),
+    "resnet101": (Bottleneck, (3, 4, 23, 3), 1, 64),
+    "resnet152": (Bottleneck, (3, 8, 36, 3), 1, 64),
+    "resnext50_32x4d": (Bottleneck, (3, 4, 6, 3), 32, 4),
+    "resnext101_32x8d": (Bottleneck, (3, 4, 23, 3), 32, 8),
+    "wide_resnet50_2": (Bottleneck, (3, 4, 6, 3), 1, 128),
+    "wide_resnet101_2": (Bottleneck, (3, 4, 23, 3), 1, 128),
+}
+
+
+def _make_resnet_factory(name):
+    block, sizes, groups, wpg = _RESNET_DEFS[name]
+
+    def factory(num_classes=0, **kwargs):
+        return ResNet(block_cls=block, stage_sizes=sizes, groups=groups,
+                      width_per_group=wpg, num_classes=num_classes, **kwargs)
+
+    factory.__name__ = name
+    return factory
+
+
+for _name in _RESNET_DEFS:
+    BACKBONE.register(_make_resnet_factory(_name), name=_name)
+
+
+def feature_dim(name):
+    """Channel count of the c5 feature map for a registered resnet."""
+    block, _, _, _ = _RESNET_DEFS[name]
+    return 512 * block.expansion

@@ -1,0 +1,125 @@
+"""VGG backbone family (Flax, NHWC).
+
+Capability match for the reference's torchvision-style VGG A/B/D/E variants
+with optional BatchNorm (``model/backbone/vgg.py:25-87``, registrations
+``:89-190``): a conv feature trunk, 7x7 average pool, and a 4096-4096-C
+classifier. BCNN/CBCNN tap the conv5 feature map (pre-pool) via the returned
+stage dict instead of slicing a Sequential.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ...registry import BACKBONE
+
+# torchvision cfgs: number = conv out-channels, "M" = 2x2 maxpool.
+_VGG_CFGS = {
+    "A": [64, "M", 128, "M", 256, 256, "M", 512, 512, "M", 512, 512, "M"],
+    "B": [64, 64, "M", 128, 128, "M", 256, 256, "M", 512, 512, "M", 512, 512, "M"],
+    "D": [64, 64, "M", 128, 128, "M", 256, 256, 256, "M", 512, 512, 512, "M",
+          512, 512, 512, "M"],
+    "E": [64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M", 512, 512, 512, 512,
+          "M", 512, 512, 512, 512, "M"],
+}
+
+
+class VGG(nn.Module):
+    """VGG trunk. Returns stages: ``features`` (pre-final-pool conv5 relu map),
+    ``pooled_features`` (post final maxpool), ``pool`` (7x7 avg, flattened),
+    ``logits`` (if num_classes > 0).
+
+    ``features`` is the input to the last maxpool — i.e. the relu5_3 map that
+    BCNN consumes (reference ``model/methods/BCNN.py:36-43`` slices
+    ``features[:-1]``).
+    """
+
+    cfg: Sequence
+    batch_norm: bool = False
+    num_classes: int = 0
+    dropout_rate: float = 0.5
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+    bn_cross_replica_axis: str | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x.astype(self.dtype)
+        layer_idx = 0  # mirrors torchvision features.<idx> numbering
+        pre_last_pool = None
+        n_pools = sum(1 for v in self.cfg if v == "M")
+        pool_seen = 0
+        for v in self.cfg:
+            if v == "M":
+                pool_seen += 1
+                if pool_seen == n_pools:
+                    pre_last_pool = x
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+                layer_idx += 1
+            else:
+                x = nn.Conv(v, (3, 3), padding=[(1, 1), (1, 1)], use_bias=True,
+                            dtype=self.dtype, param_dtype=self.param_dtype,
+                            name=f"conv{layer_idx}")(x)
+                layer_idx += 1
+                if self.batch_norm:
+                    x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                     epsilon=1e-5, dtype=self.dtype,
+                                     param_dtype=self.param_dtype,
+                                     axis_name=self.bn_cross_replica_axis,
+                                     name=f"bn{layer_idx}")(x)
+                    layer_idx += 1
+                x = nn.relu(x)
+                layer_idx += 1
+
+        stages = {"features": pre_last_pool, "pooled_features": x}
+
+        if self.num_classes > 0:
+            # torchvision: AdaptiveAvgPool2d((7,7)) then 3-layer classifier.
+            b, h, w, c = x.shape
+            if (h, w) != (7, 7):
+                # adaptive average pool to 7x7 via mean over equal windows
+                assert h % 7 == 0 and w % 7 == 0, (
+                    f"VGG head expects spatial dims divisible by 7, got {h}x{w}"
+                )
+                x = x.reshape(b, 7, h // 7, 7, w // 7, c).mean(axis=(2, 4))
+            x = x.reshape(b, -1).astype(jnp.float32)
+            stages["pool"] = x
+            x = nn.Dense(4096, dtype=jnp.float32, param_dtype=self.param_dtype,
+                         name="fc0")(x)
+            x = nn.relu(x)
+            x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
+            x = nn.Dense(4096, dtype=jnp.float32, param_dtype=self.param_dtype,
+                         name="fc3")(x)
+            x = nn.relu(x)
+            x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
+            stages["logits"] = nn.Dense(self.num_classes, dtype=jnp.float32,
+                                        param_dtype=self.param_dtype, name="fc6")(x)
+        else:
+            stages["pool"] = jnp.mean(x, axis=(1, 2)).astype(jnp.float32)
+        return stages
+
+
+_VGG_DEFS = {
+    "vgg11": ("A", False), "vgg11_bn": ("A", True),
+    "vgg13": ("B", False), "vgg13_bn": ("B", True),
+    "vgg16": ("D", False), "vgg16_bn": ("D", True),
+    "vgg19": ("E", False), "vgg19_bn": ("E", True),
+}
+
+
+def _make_vgg_factory(name):
+    cfg_key, bn = _VGG_DEFS[name]
+
+    def factory(num_classes=0, **kwargs):
+        return VGG(cfg=_VGG_CFGS[cfg_key], batch_norm=bn, num_classes=num_classes,
+                   **kwargs)
+
+    factory.__name__ = name
+    return factory
+
+
+for _name in _VGG_DEFS:
+    BACKBONE.register(_make_vgg_factory(_name), name=_name)

@@ -1,0 +1,3 @@
+# Importing a method module registers it in MODEL (reference:
+# model/methods/__init__.py:1-16 wires registrations via import side effects).
+from . import baseline  # noqa: F401
