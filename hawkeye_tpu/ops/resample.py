@@ -1,0 +1,134 @@
+"""Batched on-device crop + resize kernels.
+
+The reference does all region resampling on host or with per-image torch calls:
+NTS-Net part crops (``model/methods/NTS_Net/NTSNet.py:43-50``), APCNN ROI zoom
+(``model/methods/APCNN.py:478-531``), MGE bbox crop (``MGE.py:48-72``), S3N
+``F.grid_sample`` (``S3N.py:283-288``), and torchvision RandomResizedCrop in
+the input pipeline. Here they are single fused device ops:
+
+- ``crop_resize_bilinear``: separable bilinear interpolation written as TWO
+  BATCHED MATMULS ``(Wy @ img) @ Wx^T`` so the MXU does the resampling —
+  a per-pixel 4-tap gather would be VPU/HBM-bound instead. One program
+  handles any per-image axis-aligned box (so it *is* RandomResizedCrop,
+  center-crop, ROI zoom, and box crop, all batched, all static-shaped).
+- ``grid_sample_bilinear``: general (non-separable) grid sampling via
+  vectorized 4-tap gathers, for saliency-warped grids (S3N).
+
+All coordinate conventions follow ``align_corners=False`` (torchvision /
+``F.interpolate`` default), which the reference relies on.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _bilinear_weights(starts, sizes, in_size: int, out_size: int, dtype):
+    """Per-image 1-D bilinear interpolation matrices.
+
+    Args:
+      starts: [B] crop start (float, pixels, inclusive-left edge).
+      sizes:  [B] crop extent in pixels (float).
+      in_size: source length H (static).
+      out_size: destination length S (static).
+
+    Returns [B, out_size, in_size] such that ``W @ v`` bilinearly resamples
+    ``v`` from the window [start, start+size) to out_size points, with
+    align_corners=False sample positions and edge clamping.
+    """
+    starts = starts.astype(jnp.float32)[:, None]
+    sizes = sizes.astype(jnp.float32)[:, None]
+    # source coordinate of each output sample center
+    j = jnp.arange(out_size, dtype=jnp.float32)[None, :]
+    scale = sizes / float(out_size)
+    src = starts + (j + 0.5) * scale - 0.5  # [B, S]
+    src = jnp.clip(src, 0.0, float(in_size - 1))
+    i0 = jnp.floor(src)
+    frac = src - i0  # [B, S]
+    # hat weights against every source index: w[b, s, i]
+    i = jnp.arange(in_size, dtype=jnp.float32)[None, None, :]
+    d0 = 1.0 - jnp.abs(i - i0[..., None])  # weight for floor tap
+    w0 = jnp.clip(d0, 0.0, 1.0) * (1.0 - frac[..., None])
+    d1 = 1.0 - jnp.abs(i - (i0[..., None] + 1.0))
+    w1 = jnp.clip(d1, 0.0, 1.0) * frac[..., None]
+    w = w0 + w1
+    # renormalize rows (edge clamp can leave mass < 1 when i0+1 == in_size)
+    w = w / jnp.maximum(w.sum(-1, keepdims=True), 1e-6)
+    return w.astype(dtype)
+
+
+def crop_resize_bilinear(images, boxes, out_h: int, out_w: int, dtype=None):
+    """Crop per-image boxes and resize to (out_h, out_w), fully batched.
+
+    Args:
+      images: [B, H, W, C] (any float dtype or uint8).
+      boxes: [B, 4] float (y0, x0, h, w) in PIXELS of the source image.
+             (y0, x0) is the top-left corner; h/w the crop extent.
+      out_h, out_w: static output size.
+
+    Returns [B, out_h, out_w, C] float.
+    """
+    b, h, w, c = images.shape
+    if dtype is None:
+        dtype = images.dtype if jnp.issubdtype(images.dtype, jnp.floating) else jnp.float32
+    imgs = images.astype(dtype)
+    wy = _bilinear_weights(boxes[:, 0], boxes[:, 2], h, out_h, dtype)  # [B, oh, H]
+    wx = _bilinear_weights(boxes[:, 1], boxes[:, 3], w, out_w, dtype)  # [B, ow, W]
+    # (Wy @ img): [B, oh, H] x [B, H, W*C] -> [B, oh, W*C]
+    tmp = jax.lax.dot_general(
+        wy, imgs.reshape(b, h, w * c),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(dtype)
+    # (tmp @ Wx^T) over the W axis: [B, ow, W] x [B, oh, W, C]
+    tmp = tmp.reshape(b, out_h, w, c)
+    out = jnp.einsum("bow,bhwc->bhoc", wx, tmp,
+                     preferred_element_type=jnp.float32).astype(dtype)
+    return out
+
+
+def resize_bilinear(images, out_h: int, out_w: int, dtype=None):
+    """Plain full-image resize (shared weight matrices across the batch)."""
+    b, h, w, _ = images.shape
+    boxes = jnp.broadcast_to(
+        jnp.array([[0.0, 0.0, float(h), float(w)]], jnp.float32), (b, 4)
+    )
+    return crop_resize_bilinear(images, boxes, out_h, out_w, dtype=dtype)
+
+
+def grid_sample_bilinear(images, grid):
+    """General bilinear grid sample (4-tap gather), zero padding outside.
+
+    Args:
+      images: [B, H, W, C] float.
+      grid: [B, out_h, out_w, 2] sample coords in PIXELS, last dim (y, x).
+
+    Matches ``F.grid_sample(..., mode='bilinear', padding_mode='zeros',
+    align_corners=False)`` semantics after the caller converts normalized
+    coords to pixels (reference S3N usage, ``model/methods/S3N.py:283-288``).
+    """
+    b, h, w, c = images.shape
+    y = grid[..., 0]
+    x = grid[..., 1]
+    y0 = jnp.floor(y)
+    x0 = jnp.floor(x)
+    wy1 = y - y0
+    wx1 = x - x0
+
+    def tap(yi, xi):
+        valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+        yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+        xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+        vals = jax.vmap(lambda img, yy, xx: img[yy, xx])(images, yc, xc)
+        return vals * valid[..., None].astype(images.dtype)
+
+    v00 = tap(y0, x0)
+    v01 = tap(y0, x0 + 1)
+    v10 = tap(y0 + 1, x0)
+    v11 = tap(y0 + 1, x0 + 1)
+    wy1 = wy1[..., None].astype(images.dtype)
+    wx1 = wx1[..., None].astype(images.dtype)
+    top = v00 * (1 - wx1) + v01 * wx1
+    bot = v10 * (1 - wx1) + v11 * wx1
+    return top * (1 - wy1) + bot * wy1
