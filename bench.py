@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""North-star benchmark: Baseline ResNet-50 on CUB-200-shaped data at 448².
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric: steady-state TRAIN images/sec/chip (fwd+bwd+update, bf16 compute,
+device-resident augmentation included), measured on synthetic CUB-shaped
+uint8 data (real CUB images are not redistributable inside this environment;
+the compute path is identical). vs_baseline is relative to 2x a documented
+A100 estimate for ResNet-50 448² mixed-precision training (~600 img/s/GPU →
+baseline 1200), per BASELINE.md's ">=2x A100 images/sec/chip" target.
+
+Run on the default (TPU) backend. ``--quick`` shortens for smoke tests.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+A100_RESNET50_448_TRAIN_IMG_S = 600.0  # documented estimate (see module docstring)
+BASELINE_IMG_S = 2.0 * A100_RESNET50_448_TRAIN_IMG_S
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch-size", type=int, default=64)
+    parser.add_argument("--image-size", type=int, default=448)
+    parser.add_argument("--steps", type=int, default=30)
+    parser.add_argument("--warmup", type=int, default=5)
+    parser.add_argument("--quick", action="store_true")
+    args = parser.parse_args()
+    if args.quick:
+        args.steps, args.warmup, args.batch_size = 5, 2, 16
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import hawkeye_tpu.models  # noqa: F401
+    from hawkeye_tpu.config import ConfigNode
+    from hawkeye_tpu.data.transforms_device import make_train_augment
+    from hawkeye_tpu.engine.optim import build_optimizer
+    from hawkeye_tpu.registry import MODEL
+
+    B, S = args.batch_size, args.image_size
+    R = S * 8 // 7  # decode size (e.g. 512 for 448)
+
+    model = MODEL.get("ResNet50")(ConfigNode({"num_classes": 200}))
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(rng, jnp.zeros((2, S, S, 3), jnp.float32), train=False)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+
+    opt_cfg = ConfigNode({"name": "SGD", "lr": 0.01, "momentum": 0.9,
+                          "weight_decay": 1e-4})
+    tx, _ = build_optimizer(opt_cfg)
+    opt_state = tx.init(params)
+
+    augment = make_train_augment(image_size=S)
+
+    import optax
+
+    def loss_fn(params, batch_stats, x, y):
+        out, mut = model.apply({"params": params, "batch_stats": batch_stats},
+                               x, train=True, mutable=["batch_stats"])
+        loss = optax.softmax_cross_entropy_with_integer_labels(
+            out["logits"], y).mean()
+        return loss, mut["batch_stats"]
+
+    @jax.jit
+    def train_step(params, batch_stats, opt_state, key, raw_u8, labels):
+        x = augment(key, raw_u8)
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch_stats, x, labels)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_stats, opt_state, loss
+
+    # synthetic CUB-shaped input: uint8 [B, R, R, 3] on device
+    host = np.random.RandomState(0)
+    raw = jax.device_put(host.randint(0, 256, (B, R, R, 3), dtype=np.uint8))
+    labels = jax.device_put(host.randint(0, 200, (B,)).astype(np.int32))
+
+    # warmup / compile
+    key = jax.random.PRNGKey(1)
+    for i in range(args.warmup):
+        key, k = jax.random.split(key)
+        params, batch_stats, opt_state, loss = train_step(
+            params, batch_stats, opt_state, k, raw, labels)
+    jax.block_until_ready(loss)
+
+    t0 = time.perf_counter()
+    for i in range(args.steps):
+        key, k = jax.random.split(key)
+        params, batch_stats, opt_state, loss = train_step(
+            params, batch_stats, opt_state, k, raw, labels)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+
+    n_chips = jax.device_count()
+    img_s = B * args.steps / dt / n_chips
+    print(json.dumps({
+        "metric": "resnet50_448_train_images_per_sec_per_chip",
+        "value": round(img_s, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(img_s / BASELINE_IMG_S, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -89,6 +89,30 @@ def build_optimizer(opt_config, param_labels=None, group_multipliers=None):
     return tx, base_lr
 
 
+def make_prefix_labeler(rules, default="head"):
+    """Build a param-labels fn for optax.multi_transform: params whose path
+    starts with a key of ``rules`` get that rule's label, others ``default``.
+
+    Rules keys match any dot-joined path PREFIX (e.g. 'backbone' or
+    'backbone.layer4_0')."""
+
+    import jax
+
+    def labeler(params):
+        def label_of(path):
+            joined = ".".join(
+                str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+            for prefix, label in rules.items():
+                if joined == prefix or joined.startswith(prefix + "."):
+                    return label
+            return default
+
+        return jax.tree_util.tree_map_with_path(
+            lambda path, _: label_of(path), params)
+
+    return labeler
+
+
 def set_learning_rate(opt_state, lr):
     """Write a new base LR into an inject_hyperparams state (host-side)."""
     opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
@@ -123,15 +147,24 @@ class LRScheduler:
 
 
 class CosineAnnealingLR(LRScheduler):
-    def __init__(self, base_lr, T_max, eta_min=0.0, warmup_epochs=0):
+    """Cosine annealing with optional linear warmup (the reference composes
+    LinearLR(start_factor=lr_warmup_decay) + CosineAnnealingLR via
+    SequentialLR, ``Examples/MPN.py:22-31``)."""
+
+    def __init__(self, base_lr, T_max, eta_min=0.0, warmup_epochs=0,
+                 warmup_decay=0.01):
         super().__init__(base_lr)
         self.T_max = int(T_max)
         self.eta_min = float(eta_min)
         self.warmup_epochs = int(warmup_epochs)
+        self.warmup_decay = float(warmup_decay)
 
     def epoch_lr(self, epoch):
         if self.warmup_epochs and epoch < self.warmup_epochs:
-            self.current_lr = self.base_lr * (epoch + 1) / self.warmup_epochs
+            # torch LinearLR: factor goes start_factor -> 1 over total_iters
+            f = self.warmup_decay + (1.0 - self.warmup_decay) * (
+                epoch / self.warmup_epochs)
+            self.current_lr = self.base_lr * f
         else:
             e = min(epoch - self.warmup_epochs, self.T_max)
             t = max(self.T_max - self.warmup_epochs, 1)
@@ -206,16 +239,23 @@ class ReduceLROnPlateau(LRScheduler):
 
 def build_scheduler(sched_config, base_lr) -> LRScheduler:
     """Config → scheduler (reference scheduler names, ``train.py:200-218``)."""
-    if sched_config is None or "name" not in sched_config:
+    if sched_config is None:
         return LRScheduler(base_lr)
-    name = sched_config.name
-    if name in (None, "None", "none", "Constant"):
-        return LRScheduler(base_lr)
-    if name == "CosineAnnealingLR":
+    name = sched_config.get("name")
+    if name in (None, "", "None", "none", "Constant"):
+        # several reference recipes omit the scheduler name but provide
+        # T_max/warmup fields and build warmup+cosine in their Example
+        # (e.g. CBCNN_S2, Examples/MPN.py:20-31)
+        if "T_max" in sched_config:
+            name = "WarmupCosine"
+        else:
+            return LRScheduler(base_lr)
+    if name in ("CosineAnnealingLR", "WarmupCosine"):
         return CosineAnnealingLR(
             base_lr, T_max=sched_config.get("T_max", 30),
             eta_min=sched_config.get("eta_min", 0.0),
-            warmup_epochs=sched_config.get("warmup_epochs", 0))
+            warmup_epochs=sched_config.get("warmup_epochs", 0),
+            warmup_decay=sched_config.get("lr_warmup_decay", 0.01))
     if name == "StepLR":
         return StepLR(base_lr, sched_config.step_size,
                       sched_config.get("gamma", 0.1))

@@ -1,3 +1,6 @@
 # Importing a method module registers it in MODEL (reference:
 # model/methods/__init__.py:1-16 wires registrations via import side effects).
 from . import baseline  # noqa: F401
+from . import bcnn  # noqa: F401
+from . import cbcnn  # noqa: F401
+from . import mpn  # noqa: F401

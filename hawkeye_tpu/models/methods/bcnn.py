@@ -1,0 +1,53 @@
+"""BCNN: bilinear CNN pooling over VGG-16 conv5 features.
+
+Reference behavior (``model/methods/BCNN.py``): relu5_3 feature map →
+bilinear pooling (C×C Gram / HW, ``:13-27``) → sqrt + L2 normalize → linear
+classifier; two-stage training where stage 1 freezes the backbone (the
+reference sets requires_grad=False AND detaches features, ``:45-52``) with
+SGD lr=1.0 (``configs/BCNN_S1.yaml``), stage 2 fine-tunes everything from the
+stage-1 best model (``configs/BCNN_S2.yaml``).
+
+TPU notes: the pooling is the fused MXU op in ``ops/bilinear.py``; stage-1
+freezing is ``lax.stop_gradient`` on the feature map (zero gradient flow,
+matching the reference's detach) — the optimizer still holds backbone slots
+so stage-2 resume is shape-compatible.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ...ops.bilinear import bilinear_pool
+from ...registry import BACKBONE, MODEL
+
+
+class BCNN(nn.Module):
+    num_classes: int
+    stage: int = 2
+    backbone_name: str = "vgg16"
+    dtype: Any = jnp.bfloat16
+
+    def setup(self):
+        self.backbone = BACKBONE.get(self.backbone_name)(
+            num_classes=0, dtype=self.dtype, name="backbone")
+        self.fc = nn.Dense(self.num_classes, dtype=jnp.float32, name="fc")
+
+    def __call__(self, x, train: bool = False):
+        feats = self.backbone(x, train=train)["features"]  # relu5_3 map
+        if self.stage == 1:
+            feats = jax.lax.stop_gradient(feats)
+        v = bilinear_pool(feats)  # [B, C*C], f32, sqrt+L2 normalized
+        return {"logits": self.fc(v), "features": v}
+
+
+@MODEL.register(name="BCNN")
+def build_bcnn(config):
+    return BCNN(
+        num_classes=int(config.num_classes),
+        stage=int(config.get("stage", 2)),
+        backbone_name=config.get("backbone", "vgg16"),
+    )
