@@ -1,0 +1,35 @@
+#!/usr/bin/env python
+"""API-Net (reference Examples/APINet.py): balanced sampler + labels fed into
+the train forward for in-batch pair mining; epoch-0 conv freeze hook
+(reference ``Examples/APINet.py:86-95``)."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
+
+import hawkeye_tpu.models  # noqa: F401
+from Examples.OSMENet import BalancedSamplerTrainer
+
+
+class APINetTrainer(BalancedSamplerTrainer):
+    def init_model_kwargs(self):
+        import jax.numpy as jnp
+
+        return {"labels": jnp.zeros((2,), jnp.int32)}
+
+    def apply_model(self, variables, batch, train, rng, mutable):
+        kwargs = {}
+        if rng is not None:
+            kwargs["rngs"] = {"dropout": rng}
+        if train:
+            kwargs["labels"] = batch["label"]
+        if mutable:
+            out, mut = self.model.apply(variables, batch["img"], train=train,
+                                        mutable=mutable, **kwargs)
+            return out, mut
+        return self.model.apply(variables, batch["img"], train=train, **kwargs), {}
+
+
+if __name__ == "__main__":
+    APINetTrainer().train()

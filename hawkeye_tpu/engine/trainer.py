@@ -268,12 +268,19 @@ class Trainer:
         size = int(self.config.dataset.transformer.image_size)
         return jnp.zeros((2, size, size, 3), jnp.float32)
 
+    def init_model_kwargs(self):
+        """Extra kwargs for the init forward (e.g. APINet needs labels)."""
+        return {}
+
     def init_model_variables(self):
         rng = jax.random.PRNGKey(self.seed)
         x = self.example_input()
         with jax.default_device(jax.devices()[0]):
+            # init through the TRAIN path so train-only submodules (pair
+            # heads, gates, ...) create their parameters
             variables = self.model.init(
-                {"params": rng, "dropout": jax.random.fold_in(rng, 1)}, x, train=False
+                {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
+                x, train=True, **self.init_model_kwargs()
             )
         return variables
 

@@ -50,6 +50,14 @@ LOSS.register(CrossEntropyLoss, name="CrossEntropyLoss")
 
 
 def build_criterion(criterion_config):
+    # late imports: loss modules register themselves on import
+    from . import apinet  # noqa: F401
+    from . import cin  # noqa: F401
+    from . import crossx  # noqa: F401
+    from . import dcl  # noqa: F401
+    from . import mamc  # noqa: F401
+    from . import pair_confusion  # noqa: F401
+
     if criterion_config is None or "name" not in criterion_config:
         return CrossEntropyLoss()
     return LOSS.get(criterion_config.name)(criterion_config)

@@ -4,3 +4,8 @@ from . import baseline  # noqa: F401
 from . import bcnn  # noqa: F401
 from . import cbcnn  # noqa: F401
 from . import mpn  # noqa: F401
+from . import osme  # noqa: F401
+from . import apinet  # noqa: F401
+from . import cin  # noqa: F401
+from . import crossx  # noqa: F401
+from . import dcl  # noqa: F401
