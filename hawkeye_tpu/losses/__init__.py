@@ -57,6 +57,9 @@ def build_criterion(criterion_config):
     from . import dcl  # noqa: F401
     from . import mamc  # noqa: F401
     from . import pair_confusion  # noqa: F401
+    from . import peer_learning  # noqa: F401
+    from . import nts  # noqa: F401
+    from . import s3n  # noqa: F401
 
     if criterion_config is None or "name" not in criterion_config:
         return CrossEntropyLoss()

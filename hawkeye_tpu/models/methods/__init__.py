@@ -9,3 +9,6 @@ from . import apinet  # noqa: F401
 from . import cin  # noqa: F401
 from . import crossx  # noqa: F401
 from . import dcl  # noqa: F401
+from . import peer_learning  # noqa: F401
+from . import ntsnet  # noqa: F401
+from . import s3n  # noqa: F401

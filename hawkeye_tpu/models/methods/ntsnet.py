@@ -1,0 +1,166 @@
+"""NTS-Net: navigator-teacher-scrutinizer network.
+
+Reference: ``model/methods/NTS_Net/`` — a ProposalNet conv pyramid scores a
+fixed multi-scale anchor grid over c5 features (``NTSNet.py:63-82``,
+``anchors.py:10-60``); per image, greedy NMS keeps the top-M anchors
+(``anchors.py:63-96``, on HOST numpy in the reference), the M regions are
+cropped from the zero-padded input, resized to 224² and re-run through the
+backbone (``NTSNet.py:43-50``, a per-image Python loop in the reference);
+the top-K part features concat with the global feature for the final
+classifier; NTSLoss ranks proposal scores against part losses.
+
+TPU design (SURVEY §2.6 items 5-6): anchors are STATIC → the NMS IoU
+adjacency is a baked constant and suppression is a masked-argmax
+``fori_loop`` on device; the M crops are ONE batched multi-box MXU resample
+(``ops/resample.crop_resize_multibox``) — no host round trip, no Python
+loops, one compiled program.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops.nms import anchor_adjacency, nms_fixed_anchors_batch
+from ...ops.resample import crop_resize_multibox
+from ...registry import BACKBONE, MODEL
+
+# anchor pyramid: (stride, base size, scales, aspect ratios) per level — the
+# published NTS-Net configuration (anchors.py:3-7)
+ANCHOR_SETTING = (
+    dict(stride=32, size=48, scales=[2 ** (1 / 3), 2 ** (2 / 3)],
+         aspects=[0.667, 1, 1.5]),
+    dict(stride=64, size=96, scales=[2 ** (1 / 3), 2 ** (2 / 3)],
+         aspects=[0.667, 1, 1.5]),
+    dict(stride=128, size=192, scales=[1, 2 ** (1 / 3), 2 ** (2 / 3)],
+         aspects=[0.667, 1, 1.5]),
+)
+
+
+def generate_anchors(input_size: int):
+    """Edge anchors [A, 4] (y0, x0, y1, x1), ordered to match ProposalNet's
+    channel-major score flattening: per level, per (scale, aspect) pair, then
+    row-major over the level's feature map."""
+    edges = []
+    for info in ANCHOR_SETTING:
+        stride = info["stride"]
+        fm = int(np.ceil(input_size / stride))
+        start = stride / 2.0
+        oy = start + stride * np.arange(fm, dtype=np.float32)
+        ox = start + stride * np.arange(fm, dtype=np.float32)
+        cy, cx = np.meshgrid(oy, ox, indexing="ij")
+        for scale in info["scales"]:
+            for aspect in info["aspects"]:
+                h = info["size"] * scale / np.sqrt(aspect)
+                w = info["size"] * scale * np.sqrt(aspect)
+                e = np.stack([cy - h / 2, cx - w / 2, cy + h / 2, cx + w / 2],
+                             axis=-1).reshape(-1, 4)
+                edges.append(e.astype(np.float32))
+    return np.concatenate(edges, axis=0)
+
+
+class ProposalNet(nn.Module):
+    """Conv pyramid scoring the anchor grid (reference NTSNet.py:63-82)."""
+
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        conv = partial(nn.Conv, dtype=self.dtype)
+        d1 = nn.relu(conv(128, (3, 3), padding=[(1, 1), (1, 1)], name="down1")(x))
+        d2 = nn.relu(conv(128, (3, 3), (2, 2), padding=[(1, 1), (1, 1)],
+                          name="down2")(d1))
+        d3 = nn.relu(conv(128, (3, 3), (2, 2), padding=[(1, 1), (1, 1)],
+                          name="down3")(d2))
+        t1 = conv(6, (1, 1), name="tidy1")(d1)
+        t2 = conv(6, (1, 1), name="tidy2")(d2)
+        t3 = conv(9, (1, 1), name="tidy3")(d3)
+
+        def flat(t):  # NHWC → channel-major (c, h, w) flatten to match anchors
+            b = t.shape[0]
+            return jnp.transpose(t, (0, 3, 1, 2)).reshape(b, -1)
+
+        return jnp.concatenate([flat(t1), flat(t2), flat(t3)],
+                               axis=1).astype(jnp.float32)
+
+
+class NTSNet(nn.Module):
+    num_classes: int = 200
+    proposal_num: int = 6  # M
+    cat_num: int = 4  # K
+    image_size: int = 448
+    pad_side: int = 224
+    part_size: int = 224
+    iou_thresh: float = 0.25
+    backbone_name: str = "resnet50"
+    dtype: Any = jnp.bfloat16
+
+    def setup(self):
+        self.backbone = BACKBONE.get(self.backbone_name)(
+            num_classes=0, dtype=self.dtype, name="backbone")
+        self.fc = nn.Dense(self.num_classes, dtype=jnp.float32, name="fc")
+        self.proposal_net = ProposalNet(dtype=self.dtype, name="proposal_net")
+        self.concat_net = nn.Dense(self.num_classes, dtype=jnp.float32,
+                                   name="concat_net")
+        self.partcls_net = nn.Dense(self.num_classes, dtype=jnp.float32,
+                                    name="partcls_net")
+        self.drop = nn.Dropout(0.5)
+        edge = generate_anchors(self.image_size) + self.pad_side  # padded coords
+        self._edge_anchors = jnp.asarray(edge)
+        self._adjacency = jnp.asarray(anchor_adjacency(edge, self.iou_thresh))
+
+    def __call__(self, x, train: bool = False):
+        stages = self.backbone(x, train=train)
+        feature = self.drop(stages["pool"], deterministic=not train)
+        raw_logits = self.fc(feature)
+
+        rpn_scores = self.proposal_net(jax.lax.stop_gradient(stages["c5"]))
+        top_idx, _ = nms_fixed_anchors_batch(
+            jax.lax.stop_gradient(rpn_scores), self._adjacency,
+            self.proposal_num)  # [B, M]
+        # differentiable gather of the selected scores (navigator gradient)
+        top_prob = jnp.take_along_axis(rpn_scores, top_idx, axis=1)
+
+        boxes = self._edge_anchors[top_idx]  # [B, M, 4] (y0, x0, y1, x1)
+        byxhw = jnp.stack([
+            boxes[..., 0], boxes[..., 1],
+            boxes[..., 2] - boxes[..., 0], boxes[..., 3] - boxes[..., 1],
+        ], axis=-1)
+        pad = self.pad_side
+        x_pad = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+        parts = crop_resize_multibox(x_pad, byxhw, self.part_size,
+                                     self.part_size)  # [B, M, s, s, 3]
+        parts = jax.lax.stop_gradient(parts)
+        b, m = parts.shape[:2]
+        part_stages = self.backbone(
+            parts.reshape(b * m, self.part_size, self.part_size, 3), train=train)
+        part_features = self.drop(part_stages["pool"],
+                                  deterministic=not train).reshape(b, m, -1)
+
+        cat_feat = part_features[:, :self.cat_num].reshape(b, -1)
+        concat_logits = self.concat_net(
+            jnp.concatenate([cat_feat, feature], axis=1))
+        part_logits = self.partcls_net(part_features)  # [B, M, C]
+
+        return {
+            "logits": concat_logits,
+            "raw_logits": raw_logits,
+            "part_logits": part_logits,
+            "top_prob": top_prob,
+        }
+
+
+@MODEL.register(name="NTSNet")
+def build_ntsnet(config):
+    return NTSNet(
+        num_classes=int(config.get("num_classes", 200)),
+        proposal_num=int(config.get("proposal_num", 6)),
+        cat_num=int(config.get("cat_num", 4)),
+        image_size=int(config.get("image_size", 448)),
+        backbone_name=config.get("backbone", "resnet50"),
+    )

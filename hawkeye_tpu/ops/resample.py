@@ -88,6 +88,32 @@ def crop_resize_bilinear(images, boxes, out_h: int, out_w: int, dtype=None):
     return out
 
 
+def crop_resize_multibox(images, boxes, out_h: int, out_w: int, dtype=None):
+    """Crop M boxes per image without replicating the image M times.
+
+    images: [B, H, W, C]; boxes: [B, M, 4] (y0, x0, h, w) in pixels.
+    Returns [B, M, out_h, out_w, C]. The separable weight matrices carry the
+    M axis; the source image is shared inside the einsum (one MXU contraction
+    instead of an M-fold gather of padded copies — this is the NTS-Net /
+    APCNN part-crop path).
+    """
+    b, h, w, c = images.shape
+    m = boxes.shape[1]
+    if dtype is None:
+        dtype = images.dtype if jnp.issubdtype(images.dtype, jnp.floating) else jnp.float32
+    imgs = images.astype(dtype)
+    flat = boxes.reshape(b * m, 4)
+    wy = _bilinear_weights(flat[:, 0], flat[:, 2], h, out_h, dtype).reshape(
+        b, m, out_h, h)
+    wx = _bilinear_weights(flat[:, 1], flat[:, 3], w, out_w, dtype).reshape(
+        b, m, out_w, w)
+    tmp = jnp.einsum("bmoh,bhwc->bmowc", wy, imgs,
+                     preferred_element_type=jnp.float32).astype(dtype)
+    out = jnp.einsum("bmpw,bmowc->bmopc", wx, tmp,
+                     preferred_element_type=jnp.float32).astype(dtype)
+    return out
+
+
 def resize_bilinear(images, out_h: int, out_w: int, dtype=None):
     """Plain full-image resize (shared weight matrices across the batch)."""
     b, h, w, _ = images.shape

@@ -1,0 +1,101 @@
+"""Shape/jit tests for NTS-Net, S3N, PeerLearning."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import hawkeye_tpu.models  # noqa: F401
+from hawkeye_tpu.config import ConfigNode
+from hawkeye_tpu.losses import build_criterion
+from hawkeye_tpu.registry import MODEL
+
+
+def test_nts_anchor_count_matches_proposal_net():
+    """The anchor ordering contract: #anchors == ProposalNet output width."""
+    from hawkeye_tpu.models.methods.ntsnet import ProposalNet, generate_anchors
+
+    for size in (224, 448):
+        anchors = generate_anchors(size)
+        pn = ProposalNet()
+        c5 = jnp.zeros((1, size // 32, size // 32, 64))
+        v = pn.init(jax.random.PRNGKey(0), c5)
+        scores = pn.apply(v, c5)
+        assert scores.shape == (1, anchors.shape[0]), (
+            size, scores.shape, anchors.shape)
+
+
+def test_ntsnet_end_to_end_loss():
+    cfg = ConfigNode({"num_classes": 5, "proposal_num": 4, "cat_num": 2,
+                      "image_size": 64, "backbone": "resnet18"})
+    model = MODEL.get("NTSNet")(cfg)
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 64, 64, 3), jnp.float32)
+    v = model.init({"params": jax.random.PRNGKey(0),
+                    "dropout": jax.random.PRNGKey(1)}, x, train=True)
+    out, _ = model.apply(v, x, train=True, mutable=["batch_stats"],
+                         rngs={"dropout": jax.random.PRNGKey(2)})
+    assert out["logits"].shape == (2, 5)
+    assert out["part_logits"].shape == (2, 4, 5)
+    assert out["top_prob"].shape == (2, 4)
+    crit = build_criterion(ConfigNode({"name": "NTSLoss"}))
+    loss = float(crit(out, {"label": jnp.array([0, 1])}))
+    assert np.isfinite(loss)
+
+
+def test_nts_ranking_hinge():
+    from hawkeye_tpu.losses.nts import ranking_hinge
+
+    # proposal 0 scores lower but has lower loss -> hinge penalty
+    scores = jnp.asarray([[0.0, 1.0]])
+    losses = jnp.asarray([[0.1, 5.0]])  # proposal 1 is worse
+    val = float(ranking_hinge(scores, losses))
+    assert abs(val - 2.0) < 1e-5  # relu(1 - 0 + 1) = 2 (i=0 pivot, j=1 worse)
+    # correctly ordered scores: no penalty beyond margin
+    scores = jnp.asarray([[5.0, 1.0]])
+    assert float(ranking_hinge(scores, losses)) == 0.0
+
+
+def test_s3n_phases_and_loss():
+    cfg = ConfigNode({"num_classes": 4, "image_size": 64,
+                      "backbone": "resnet18"})
+    model = MODEL.get("S3N")(cfg)
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 64, 64, 3), jnp.float32)
+    v = model.init({"params": jax.random.PRNGKey(0),
+                    "dropout": jax.random.PRNGKey(1)}, x, train=True, p=0)
+    crit = build_criterion(ConfigNode({"name": "MultiSmoothLoss",
+                                       "smooth_ratio": 0.85}))
+    for p in (0, 1, 2):
+        out, _ = model.apply(v, x, train=True, p=p, mutable=["batch_stats"],
+                             rngs={"dropout": jax.random.PRNGKey(2)})
+        assert out["logits"].shape == (2, 4)
+        assert np.isfinite(float(crit(out, {"label": jnp.array([0, 1])})))
+
+
+def test_peer_learning_exchange_semantics():
+    from hawkeye_tpu.losses.peer_learning import peer_learning_losses
+
+    # crafted: peers agree on all; drop_rate 0.5 keeps the 2 lowest-loss
+    # (per the PEER's ranking) of 4 agreeing samples
+    logits = np.full((4, 3), -5.0, np.float32)
+    for i, c in enumerate([0, 0, 0, 0]):
+        logits[i, c] = 5.0
+    l1 = jnp.asarray(logits)
+    labels = jnp.asarray([0, 0, 1, 2])  # samples 2,3 are "noisy"
+    loss1, loss2 = peer_learning_losses(l1, l1, labels, 0.5)
+    # kept samples are the correct-label ones -> low loss
+    assert float(loss1) < 0.1 and float(loss2) < 0.1
+    # drop_rate 0 keeps everything -> high loss from noisy labels
+    loss1_all, _ = peer_learning_losses(l1, l1, labels, 0.0)
+    assert float(loss1_all) > 1.0
+
+
+def test_peer_learning_net_outputs():
+    cfg = ConfigNode({"num_classes": 3, "base_model": {
+        "name": "ResNet18", "num_classes": 3}})
+    model = MODEL.get("PeerLearningNet")(cfg)
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 32, 32, 3), jnp.float32)
+    v = model.init(jax.random.PRNGKey(0), x, train=True)
+    out = model.apply(v, x, train=False)
+    assert set(out) == {"logits", "logits1", "logits2"}
+    # peers are independently initialized
+    assert not np.allclose(np.asarray(out["logits1"]),
+                           np.asarray(out["logits2"]))
