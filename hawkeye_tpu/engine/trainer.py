@@ -518,7 +518,7 @@ class Trainer:
             self.on_start_batch(batch)
             device_batch = self.prepare_batch(batch, train=True)
             lr_arr = jnp.asarray(self.batch_lr(lr), jnp.float32)
-            self.state, metrics = self._train_step(self.state, device_batch, lr_arr)
+            self.state, metrics = self.train_step_call(device_batch, lr_arr)
             if pending is not None:
                 total_correct += float(pending["correct"])
                 total_count += float(pending["count"])
@@ -541,6 +541,11 @@ class Trainer:
     def batch_lr(self, epoch_lr):
         """Per-step LR hook (per-batch cosine recipes override this)."""
         return epoch_lr
+
+    def train_step_call(self, device_batch, lr_arr):
+        """Dispatch one jitted train step (methods with extra step inputs —
+        e.g. ProtoTree's leaf snapshot — override this)."""
+        return self._train_step(self.state, device_batch, lr_arr)
 
     def validate(self):
         loader = self.dataloaders.get("val")

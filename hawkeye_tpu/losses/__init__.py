@@ -60,6 +60,10 @@ def build_criterion(criterion_config):
     from . import peer_learning  # noqa: F401
     from . import nts  # noqa: F401
     from . import s3n  # noqa: F401
+    from . import interp_parts  # noqa: F401
+    from . import mge  # noqa: F401
+    from . import apcnn  # noqa: F401
+    from . import prototree  # noqa: F401
 
     if criterion_config is None or "name" not in criterion_config:
         return CrossEntropyLoss()

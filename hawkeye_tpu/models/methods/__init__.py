@@ -12,3 +12,7 @@ from . import dcl  # noqa: F401
 from . import peer_learning  # noqa: F401
 from . import ntsnet  # noqa: F401
 from . import s3n  # noqa: F401
+from . import interp_parts  # noqa: F401
+from . import mge  # noqa: F401
+from . import apcnn  # noqa: F401
+from . import prototree  # noqa: F401
