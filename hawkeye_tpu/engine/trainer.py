@@ -143,6 +143,20 @@ class Trainer:
         self.logger.info(f"Building model {self.config.model.name} ...")
         self.model = self.get_model(self.config.model)
         self.variables = self.init_model_variables()
+        # optional ImageNet/iNat backbone init from a LOCAL checkpoint
+        # (torch.hub downloads are impossible here; reference equivalent:
+        # model/backbone/resnet.py:16-26 URL loading)
+        pretrain_path = None
+        bb_cfg = self.config.model.get("backbone")
+        if hasattr(bb_cfg, "get"):
+            pretrain_path = bb_cfg.get("pretrain")
+        pretrain_path = self.config.model.get("pretrain", pretrain_path)
+        if pretrain_path:
+            from ..models.weights import load_pretrained_backbone
+
+            kind = self.config.model.get("pretrain_kind", "resnet")
+            self.variables = load_pretrained_backbone(
+                self.variables, pretrain_path, kind, logger=self.logger)
         if "load" in self.config.model and self.config.model.load:
             self.logger.info(f"Loading model weights from {self.config.model.load}")
             self.variables = ckpt.load_model(
@@ -514,7 +528,21 @@ class Trainer:
         total_loss = 0.0
         n_batches = 0
         pending = None  # overlap: pull metrics one step late
+        # tracing subsystem: experiment.profile captures a device trace of a
+        # few steady-state steps in epoch 0 (replaces the reference's
+        # wall-clock-only Timer, SURVEY §5)
+        profile = bool(self.config.experiment.get("profile", False)) and self.epoch == 0
+        profile_dir = os.path.join(self.log_root, "profile")
+        step_in_epoch = 0
         for batch in loader:
+            if profile and step_in_epoch == 3:
+                jax.profiler.start_trace(profile_dir)
+            if profile and step_in_epoch == 8:
+                jax.block_until_ready(self.state.params)
+                jax.profiler.stop_trace()
+                self.logger.info(f"profiler trace written to {profile_dir}")
+                profile = False
+            step_in_epoch += 1
             self.on_start_batch(batch)
             device_batch = self.prepare_batch(batch, train=True)
             lr_arr = jnp.asarray(self.batch_lr(lr), jnp.float32)

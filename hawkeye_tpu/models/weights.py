@@ -112,6 +112,58 @@ def convert_torchvision_vgg(sd, prefix=""):
     return params, stats
 
 
+def convert_bbn_inat_resnet(sd):
+    """Remap a BBN iNaturalist2017 ResNet-50 checkpoint to torchvision names
+    then convert (reference ``ProtoTreeNet.get_inat_resnet50_weight``,
+    ``model/methods/ProtoTree/ProtoTreeNet.py:41-59``: ``module.backbone.
+    cb_block`` → ``layer4.2``, ``rb_block``/classifier dropped)."""
+    remapped = {}
+    for k, v in sd.items():
+        if k.startswith("module.backbone.cb_block"):
+            remapped["layer4.2" + k.split("cb_block")[-1]] = v
+        elif k.startswith("module.backbone.rb_block"):
+            continue
+        elif k.startswith("module.classifier"):
+            continue
+        elif k.startswith("module.backbone."):
+            remapped[k.split("backbone.")[-1]] = v
+        else:
+            remapped[k] = v
+    return convert_torchvision_resnet(remapped)
+
+
+def load_pretrained_backbone(variables, path, backbone_kind, subpath=("backbone",),
+                             logger=None):
+    """Load a local pretrained checkpoint into a model's backbone subtree.
+
+    ``path`` may be a torch ``.pth`` (converted by backbone kind: 'resnet',
+    'vgg', 'bbn_inat') or a flax ``.msgpack`` weights file. With zero egress
+    in mind, this is gated on file existence — missing files log a warning
+    and return the variables unchanged (training from scratch).
+    """
+    import os
+
+    if not path or not os.path.exists(path):
+        if logger is not None:
+            logger.info(f"pretrained weights not found at {path!r}; "
+                        f"training from scratch")
+        return variables
+    if path.endswith((".pth", ".pt", ".tar")):
+        sd = load_torch_state_dict(path)
+        if backbone_kind == "vgg":
+            flat_p, flat_s = convert_torchvision_vgg(sd)
+        elif backbone_kind == "bbn_inat":
+            flat_p, flat_s = convert_bbn_inat_resnet(sd)
+        else:
+            flat_p, flat_s = convert_torchvision_resnet(sd)
+        merged, _ = merge_into(variables, flat_p, flat_s, subpath=subpath,
+                               logger=logger)
+        return merged
+    from ..engine.checkpoint import load_model
+
+    return load_model(path, variables, logger=logger)
+
+
 def merge_into(variables, flat_params, flat_stats=None, subpath=(), logger=None):
     """Shape-checked partial merge of flat '/'-keyed arrays into flax variables.
 
