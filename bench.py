@@ -18,6 +18,7 @@ from __future__ import annotations
 import argparse
 import json
 import time
+from functools import partial
 
 A100_RESNET50_448_TRAIN_IMG_S = 600.0  # documented estimate (see module docstring)
 BASELINE_IMG_S = 2.0 * A100_RESNET50_448_TRAIN_IMG_S
@@ -30,6 +31,9 @@ def main():
     parser.add_argument("--steps", type=int, default=30)
     parser.add_argument("--warmup", type=int, default=5)
     parser.add_argument("--quick", action="store_true")
+    parser.add_argument("--no-aug", action="store_true",
+                        help="skip device augmentation (ablation)")
+    parser.add_argument("--no-donate", action="store_true")
     args = parser.parse_args()
     if args.quick:
         args.steps, args.warmup, args.batch_size = 5, 2, 16
@@ -57,7 +61,9 @@ def main():
     tx, _ = build_optimizer(opt_cfg)
     opt_state = tx.init(params)
 
-    augment = make_train_augment(image_size=S)
+    # feed the model bf16 directly: halves aug→model HBM traffic; the model
+    # casts to bf16 internally anyway
+    augment = make_train_augment(image_size=S, out_dtype=jnp.bfloat16)
 
     import optax
 
@@ -68,9 +74,14 @@ def main():
             out["logits"], y).mean()
         return loss, mut["batch_stats"]
 
-    @jax.jit
+    donate = () if args.no_donate else (0, 1, 2)
+
+    @partial(jax.jit, donate_argnums=donate)
     def train_step(params, batch_stats, opt_state, key, raw_u8, labels):
-        x = augment(key, raw_u8)
+        if args.no_aug:
+            x = raw_u8[:, :S, :S, :].astype(jnp.float32) / 255.0
+        else:
+            x = augment(key, raw_u8)
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, batch_stats, x, labels)
         updates, opt_state = tx.update(grads, opt_state, params)

@@ -29,6 +29,7 @@ class BCNN(nn.Module):
     num_classes: int
     stage: int = 2
     backbone_name: str = "vgg16"
+    fused_pooling: bool = False  # Pallas kernel (ops/pallas_bilinear.py)
     dtype: Any = jnp.bfloat16
 
     def setup(self):
@@ -40,7 +41,12 @@ class BCNN(nn.Module):
         feats = self.backbone(x, train=train)["features"]  # relu5_3 map
         if self.stage == 1:
             feats = jax.lax.stop_gradient(feats)
-        v = bilinear_pool(feats)  # [B, C*C], f32, sqrt+L2 normalized
+        if self.fused_pooling:
+            from ...ops.pallas_bilinear import bilinear_pool_fused
+
+            v = bilinear_pool_fused(feats)
+        else:
+            v = bilinear_pool(feats)  # [B, C*C], f32, sqrt+L2 normalized
         return {"logits": self.fc(v), "features": v}
 
 
@@ -50,4 +56,5 @@ def build_bcnn(config):
         num_classes=int(config.num_classes),
         stage=int(config.get("stage", 2)),
         backbone_name=config.get("backbone", "vgg16"),
+        fused_pooling=bool(config.get("fused_pooling", False)),
     )
