@@ -34,6 +34,9 @@ def main():
     parser.add_argument("--no-aug", action="store_true",
                         help="skip device augmentation (ablation)")
     parser.add_argument("--no-donate", action="store_true")
+    parser.add_argument("--model", choices=["resnet50", "bcnn"],
+                        default="resnet50",
+                        help="headline target: Baseline ResNet-50 or BCNN")
     args = parser.parse_args()
     if args.quick:
         args.steps, args.warmup, args.batch_size = 5, 2, 16
@@ -51,7 +54,13 @@ def main():
     B, S = args.batch_size, args.image_size
     R = S * 8 // 7  # decode size (e.g. 512 for 448)
 
-    model = MODEL.get("ResNet50")(ConfigNode({"num_classes": 200}))
+    if args.model == "bcnn":
+        model = MODEL.get("BCNN")(ConfigNode({"num_classes": 200, "stage": 2}))
+        if args.batch_size == 64:  # default: BCNN reference batch is smaller
+            args.batch_size = 32
+            B = 32
+    else:
+        model = MODEL.get("ResNet50")(ConfigNode({"num_classes": 200}))
     rng = jax.random.PRNGKey(0)
     variables = model.init(rng, jnp.zeros((2, S, S, 3), jnp.float32), train=False)
     params, batch_stats = variables["params"], variables["batch_stats"]
@@ -112,7 +121,7 @@ def main():
     n_chips = jax.device_count()
     img_s = B * args.steps / dt / n_chips
     print(json.dumps({
-        "metric": "resnet50_448_train_images_per_sec_per_chip",
+        "metric": f"{args.model}_448_train_images_per_sec_per_chip",
         "value": round(img_s, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(img_s / BASELINE_IMG_S, 4),

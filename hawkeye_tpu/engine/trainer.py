@@ -534,7 +534,14 @@ class Trainer:
         profile = bool(self.config.experiment.get("profile", False)) and self.epoch == 0
         profile_dir = os.path.join(self.log_root, "profile")
         step_in_epoch = 0
-        for batch in loader:
+        try:
+            from tqdm import tqdm
+
+            iterator = tqdm(loader, total=len(loader), leave=False,
+                            desc=f"epoch {self.epoch}", mininterval=1.0)
+        except ImportError:
+            iterator = loader
+        for batch in iterator:
             if profile and step_in_epoch == 3:
                 jax.profiler.start_trace(profile_dir)
             if profile and step_in_epoch == 8:
@@ -552,6 +559,11 @@ class Trainer:
                 total_count += float(pending["count"])
                 total_loss += float(pending["loss"])
                 n_batches += 1
+                if hasattr(iterator, "set_postfix") and n_batches % 10 == 0:
+                    iterator.set_postfix(
+                        loss=f"{total_loss / n_batches:.3f}",
+                        acc=f"{100 * total_correct / max(total_count, 1):.1f}",
+                        refresh=False)
             pending = metrics
             self.on_end_batch(metrics)
         if pending is not None:
