@@ -63,7 +63,8 @@ def main():
         model = MODEL.get("ResNet50")(ConfigNode({"num_classes": 200}))
     rng = jax.random.PRNGKey(0)
     variables = model.init(rng, jnp.zeros((2, S, S, 3), jnp.float32), train=False)
-    params, batch_stats = variables["params"], variables["batch_stats"]
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
 
     opt_cfg = ConfigNode({"name": "SGD", "lr": 0.01, "momentum": 0.9,
                           "weight_decay": 1e-4})
@@ -76,12 +77,22 @@ def main():
 
     import optax
 
+    has_bn = bool(batch_stats)
+
     def loss_fn(params, batch_stats, x, y):
-        out, mut = model.apply({"params": params, "batch_stats": batch_stats},
-                               x, train=True, mutable=["batch_stats"])
+        variables = {"params": params}
+        if has_bn:
+            variables["batch_stats"] = batch_stats
+            out, mut = model.apply(variables, x, train=True,
+                                   mutable=["batch_stats"])
+            new_stats = mut["batch_stats"]
+        else:
+            out = model.apply(variables, x, train=True,
+                              rngs={"dropout": jax.random.PRNGKey(0)})
+            new_stats = batch_stats
         loss = optax.softmax_cross_entropy_with_integer_labels(
             out["logits"], y).mean()
-        return loss, mut["batch_stats"]
+        return loss, new_stats
 
     donate = () if args.no_donate else (0, 1, 2)
 

@@ -133,7 +133,23 @@ class Trainer:
             f"Devices: {self.n_devices} x {jax.devices()[0].platform}"
         )
 
-        # data
+        # data — pipeline mode: 'host' (PIL transforms, reference-faithful) or
+        # 'device' (host decodes fixed uint8; augmentation runs inside the
+        # jitted train step, SURVEY §7 step 2)
+        self.pipeline = self.config.dataset.get("pipeline", "host")
+        if self.pipeline == "device":
+            from ..data.transforms_device import (
+                make_eval_transform,
+                make_train_augment,
+            )
+
+            tcfg = self.config.dataset.transformer
+            size = int(tcfg.image_size)
+            self.device_augment = make_train_augment(
+                image_size=size,
+                erase_prob=float(tcfg.get("random_erase", 0.1)),
+            )
+            self.device_eval_prep = make_eval_transform(image_size=size)
         self.transformers = self.get_transformers(self.config.dataset.transformer)
         self.collate_fn = self.get_collate_fn()
         self.datasets = self.get_dataset(self.config.dataset)
@@ -202,6 +218,8 @@ class Trainer:
             return None
 
     def get_transformers(self, transformer_config):
+        if self.pipeline == "device":
+            return {"train": None, "val": None}  # host side only decodes
         train_t, eval_t = build_transforms(transformer_config)
         return {"train": train_t, "val": eval_t}
 
@@ -212,6 +230,10 @@ class Trainer:
 
     def get_dataset(self, ds_config):
         name = ds_config.get("name", "cub")
+        decode = None
+        if self.pipeline == "device":
+            decode = int(ds_config.transformer.get(
+                "resize_size", ds_config.transformer.image_size * 8 // 7))
         if name == "synthetic":
             size = ds_config.transformer.image_size
             n = ds_config.get("length", 256)
@@ -220,18 +242,20 @@ class Trainer:
             return {
                 "train": SyntheticDataset(n, ncls, size,
                                           transform=self.transformers["train"],
-                                          decode_size=ds_config.get("decode_size")),
+                                          decode_size=decode),
                 "val": SyntheticDataset(max(n // 4, 1), ncls, size,
                                         transform=self.transformers["val"],
-                                        decode_size=ds_config.get("decode_size")),
+                                        decode_size=decode),
             }
         root = ds_config.root_dir
         meta = ds_config.meta_dir
         return {
             "train": FGDataset(root, os.path.join(meta, "train.txt"),
-                               transform=self.transformers["train"]),
+                               transform=self.transformers["train"],
+                               decode_size=decode),
             "val": FGDataset(root, os.path.join(meta, "val.txt"),
-                             transform=self.transformers["val"]),
+                             transform=self.transformers["val"],
+                             decode_size=decode),
         }
 
     def get_sampler(self, split, ds_config):
@@ -341,6 +365,10 @@ class Trainer:
 
     def forward_train(self, params, state, batch, rng):
         """Returns (loss, outputs, mutated_collections dict)."""
+        if self.pipeline == "device":
+            batch = dict(batch)
+            batch["img"] = self.device_augment(
+                jax.random.fold_in(rng, 1), batch["img"])
         variables = {"params": params, **state.extra_vars}
         mutable = []
         if state.batch_stats:
@@ -351,6 +379,9 @@ class Trainer:
         return loss, outputs, mutated
 
     def forward_eval(self, state, batch):
+        if self.pipeline == "device":
+            batch = dict(batch)
+            batch["img"] = self.device_eval_prep(batch["img"])
         variables = self.model_variables(state)
         outputs, _ = self.apply_model(variables, batch, False, None, [])
         loss = self.criterion(outputs, batch)

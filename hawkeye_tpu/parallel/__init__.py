@@ -5,6 +5,7 @@ from .mesh import (
     replicated,
     shard_batch,
 )
+from .multihost import ProcessShardedBatchSampler, global_batch_from_local
 
 __all__ = [
     "make_mesh",
@@ -12,4 +13,6 @@ __all__ = [
     "replicated",
     "shard_batch",
     "replicate_tree",
+    "ProcessShardedBatchSampler",
+    "global_batch_from_local",
 ]
