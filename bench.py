@@ -26,7 +26,7 @@ BASELINE_IMG_S = 2.0 * A100_RESNET50_448_TRAIN_IMG_S
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--batch-size", type=int, default=64)
+    parser.add_argument("--batch-size", type=int, default=128)
     parser.add_argument("--image-size", type=int, default=448)
     parser.add_argument("--steps", type=int, default=30)
     parser.add_argument("--warmup", type=int, default=5)
@@ -56,7 +56,7 @@ def main():
 
     if args.model == "bcnn":
         model = MODEL.get("BCNN")(ConfigNode({"num_classes": 200, "stage": 2}))
-        if args.batch_size == 64:  # default: BCNN reference batch is smaller
+        if args.batch_size == 128:  # default: BCNN needs a smaller batch
             args.batch_size = 32
             B = 32
     else:

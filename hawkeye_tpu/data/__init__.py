@@ -1,6 +1,11 @@
 from .dataset import FGDataset, SyntheticDataset, parse_metadata
 from .loader import DataLoader, default_collate
-from .sampler import BalancedBatchSampler, RandomBatchSampler, SequentialBatchSampler
+from .sampler import (
+    BalancedBatchSampler,
+    RandomBatchSampler,
+    SequentialBatchSampler,
+    WeightedRandomBatchSampler,
+)
 from .transforms_host import EvalPreset, TrainPreset, build_transforms
 
 __all__ = [
@@ -12,6 +17,7 @@ __all__ = [
     "BalancedBatchSampler",
     "RandomBatchSampler",
     "SequentialBatchSampler",
+    "WeightedRandomBatchSampler",
     "EvalPreset",
     "TrainPreset",
     "build_transforms",

@@ -79,11 +79,25 @@ class FGDataset:
         return len(self.paths)
 
     def __getitem__(self, index):
-        img = load_rgb(os.path.join(self.root, self.paths[index]))
+        path = os.path.join(self.root, self.paths[index])
         if self.decode_size is not None:
-            img = center_crop(resize_shorter(img, self.decode_size), self.decode_size)
-            arr = np.asarray(img, np.uint8)
-        elif self.transform is not None:
+            # native fast path: fused libjpeg decode + resize + center crop
+            # (GIL released; see data/native_decoder.py). PIL fallback for
+            # non-JPEG/corrupt files or missing toolchain.
+            from . import native_decoder
+
+            arr = native_decoder.decode_resize_center(path, self.decode_size)
+            if arr is None:
+                img = load_rgb(path)
+                img = center_crop(resize_shorter(img, self.decode_size),
+                                  self.decode_size)
+                arr = np.asarray(img, np.uint8)
+            data = {"img": arr, "label": int(self.labels[index])}
+            if self.return_id:
+                data["id"] = index
+            return data
+        img = load_rgb(path)
+        if self.transform is not None:
             arr = self.transform(img)
         else:
             arr = np.asarray(img, np.uint8)

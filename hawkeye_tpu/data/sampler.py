@@ -57,6 +57,35 @@ class RandomBatchSampler:
         return q + (0 if self.drop_last or r == 0 else 1)
 
 
+class WeightedRandomBatchSampler:
+    """Class-frequency-weighted sampling with replacement (reference
+    ``dataset/dataset_DCL.py:96-99`` get_weighted_sampler)."""
+
+    def __init__(self, labels, batch_size, num_samples=None, seed=0):
+        labels = np.asarray(labels)
+        counts = np.bincount(labels)
+        weights = 1.0 / np.maximum(counts[labels], 1)
+        self.p = weights / weights.sum()
+        self.n = len(labels)
+        self.batch_size = batch_size
+        self.num_samples = num_samples or self.n
+        self.seed = seed
+        self.epoch = 0
+
+    def set_epoch(self, epoch):
+        self.epoch = epoch
+
+    def __iter__(self):
+        rng = np.random.RandomState((self.seed * 1_000_003 + self.epoch) % 2**31)
+        idx = rng.choice(self.n, size=self.num_samples, replace=True, p=self.p)
+        stop = (self.num_samples // self.batch_size) * self.batch_size
+        for i in range(0, stop, self.batch_size):
+            yield idx[i:i + self.batch_size]
+
+    def __len__(self):
+        return self.num_samples // self.batch_size
+
+
 class BalancedBatchSampler:
     """P×K batches: ``n_classes`` classes × ``n_samples`` items per batch.
 
