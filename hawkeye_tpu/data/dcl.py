@@ -124,6 +124,26 @@ class DCLValCollate:
                 "swap_law": law}
 
 
+class DCLBackboneCollate:
+    """Unswapped images + class labels only (reference collate_fn4backbone,
+    ``dataset_DCL.py:167-180``) — for backbone-only pretraining on the DCL
+    augmentation."""
+
+    def __call__(self, items):
+        imgs = np.stack([_normalize(it["img"]) for it in items]).astype(np.float32)
+        labels = np.asarray([int(it["label"]) for it in items], np.int64)
+        return {"img": imgs, "label": labels}
+
+
+class DCLTestCollate:
+    """Raw eval collate (reference collate_fn4test, ``dataset_DCL.py:183-193``)."""
+
+    def __call__(self, items):
+        imgs = np.stack([_normalize(it["img"]) for it in items]).astype(np.float32)
+        labels = np.asarray([int(it["label"]) for it in items], np.int64)
+        return {"img": imgs, "label": labels}
+
+
 class DCLCommonAug:
     """Reference common_aug (``Examples/DCL.py:28-33``): Resize(R,R) →
     RandomRotation(±15°) → RandomCrop(S) → HFlip. Returns uint8 [S,S,3]."""

@@ -488,6 +488,7 @@ class Trainer:
             self.logger.info("validate before training (val_first)")
             self.validate()
 
+        saved_this_epoch = False
         for epoch in range(self.start_epoch, self.total_epoch):
             self.epoch = epoch
             self.on_start_epoch()
@@ -532,15 +533,18 @@ class Trainer:
             self.scheduler.step_metric(val_metrics["acc"])
 
             save_freq = int(self.config.train.get("save_frequence", 0) or 0)
+            saved_this_epoch = False
             if save_freq and (epoch + 1) % save_freq == 0:
                 self.save_model(
                     os.path.join(self.log_root, f"model_epoch_{epoch}.msgpack")
                 )
                 self.save_checkpoint()
+                saved_this_epoch = True
 
             self.on_end_epoch()
 
-        self.save_checkpoint()
+        if not saved_this_epoch:
+            self.save_checkpoint()
         self.on_end_train()
         best = self.performance_meters["val"]["acc"].best_value
         if best is not None:

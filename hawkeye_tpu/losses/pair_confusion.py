@@ -37,4 +37,11 @@ class PairwiseConfusionLoss:
         return loss_ce + self.lambda_a * conf
 
 
+def entropic_confusion(probs):
+    """Σ p·log p / B over softmax outputs (reference EntropicConfusion,
+    ``model/loss/pair_confusion.py:34-36``) — available API surface."""
+    b = probs.shape[0]
+    return (probs * jnp.log(jnp.maximum(probs, 1e-12))).sum() / b
+
+
 LOSS.register(PairwiseConfusionLoss, name="PairwiseConfusionLoss")
