@@ -460,9 +460,14 @@ class Trainer:
         compiles exactly once; pad rows carry weight 0.
         """
         n = batch["label"].shape[0]
-        bs = int(self.config.dataset.batch_size)
-        target = max(bs, n)
-        target = -((-target) // self.n_devices) * self.n_devices
+        if train:
+            # train batches are fixed-size (drop_last / balanced samplers):
+            # pad only up to the device multiple
+            target = -((-n) // self.n_devices) * self.n_devices
+        else:
+            # one stable eval shape across all batches incl. the tail
+            bs = int(self.config.dataset.batch_size)
+            target = -((-max(bs, n)) // self.n_devices) * self.n_devices
         pad = target - n
         weight = np.ones((n,), np.float32)
         if pad:
