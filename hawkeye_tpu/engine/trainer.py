@@ -249,11 +249,15 @@ class Trainer:
             }
         root = ds_config.root_dir
         meta = ds_config.meta_dir
+        # optional label granularity (aircraft variant/family/manufacturer
+        # metadata splits: metadata/aircraft/train_variant.txt etc.)
+        suffix = ds_config.get("split")
+        suffix = f"_{suffix}" if suffix else ""
         return {
-            "train": FGDataset(root, os.path.join(meta, "train.txt"),
+            "train": FGDataset(root, os.path.join(meta, f"train{suffix}.txt"),
                                transform=self.transformers["train"],
                                decode_size=decode),
-            "val": FGDataset(root, os.path.join(meta, "val.txt"),
+            "val": FGDataset(root, os.path.join(meta, f"val{suffix}.txt"),
                              transform=self.transformers["val"],
                              decode_size=decode),
         }
