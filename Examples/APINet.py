@@ -13,6 +13,26 @@ from Examples.OSMENet import BalancedSamplerTrainer
 
 
 class APINetTrainer(BalancedSamplerTrainer):
+    """Epoch-0 conv freeze (reference Examples/APINet.py:86-95 zeroes the
+    backbone param group's LR for the first epoch): implemented as an
+    in-graph gradient gate so the compiled step never changes."""
+
+    def prepare_batch(self, batch, train):
+        device_batch = super().prepare_batch(batch, train)
+        if train:
+            device_batch["backbone_on"] = 0.0 if self.epoch == 0 else 1.0
+        return device_batch
+
+    def transform_grads(self, grads, batch):
+        import jax
+
+        gate = batch.get("backbone_on")
+        if gate is None or "backbone" not in grads:
+            return grads
+        grads = dict(grads)
+        grads["backbone"] = jax.tree.map(lambda g: g * gate, grads["backbone"])
+        return grads
+
     def init_model_kwargs(self):
         import jax.numpy as jnp
 

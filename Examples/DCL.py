@@ -10,7 +10,6 @@ import sys
 sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
 
 import hawkeye_tpu.models  # noqa: F401
-from hawkeye_tpu.data import FGDataset
 from hawkeye_tpu.data.dcl import (
     DCLCommonAug,
     DCLTrainCollate,

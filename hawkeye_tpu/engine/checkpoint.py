@@ -21,7 +21,7 @@ import os
 import jax
 import numpy as np
 from flax import serialization
-from flax.traverse_util import flatten_dict, unflatten_dict
+from flax.traverse_util import flatten_dict
 
 
 def _to_host(tree):

@@ -38,7 +38,6 @@ from flax import struct
 
 from ..config import setup_config
 from ..data import (
-    BalancedBatchSampler,
     DataLoader,
     FGDataset,
     RandomBatchSampler,
@@ -421,6 +420,7 @@ class Trainer:
             (loss, (outputs, mutated)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(state.params)
+            grads = self.transform_grads(grads, batch)
 
             opt_state = state.opt_state
             opt_state.hyperparams["learning_rate"] = lr
@@ -625,6 +625,11 @@ class Trainer:
     def batch_lr(self, epoch_lr):
         """Per-step LR hook (per-batch cosine recipes override this)."""
         return epoch_lr
+
+    def transform_grads(self, grads, batch):
+        """In-graph gradient hook (epoch-gated freezes pass gate scalars in
+        via prepare_batch; e.g. APINet's epoch-0 conv freeze)."""
+        return grads
 
     def train_step_call(self, device_batch, lr_arr):
         """Dispatch one jitted train step (methods with extra step inputs —

@@ -19,12 +19,12 @@ TPU-first choices (deliberately NOT a translation):
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Callable, Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ...registry import BACKBONE, MODEL
+from ...registry import BACKBONE
 
 ModuleDef = Any
 
