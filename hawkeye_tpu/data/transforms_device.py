@@ -85,23 +85,32 @@ def random_erase(key, images, prob=0.1, scale=(0.02, 0.33), ratio=(0.3, 3.3),
 def make_train_augment(image_size: int, hflip_prob=0.5, erase_prob=0.1,
                        scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3),
                        mean=IMAGENET_MEAN, std=IMAGENET_STD,
+                       auto_augment=None,
                        out_dtype=jnp.float32, compute_dtype=jnp.bfloat16):
     """Build a jittable ``augment(key, uint8 [B,R,R,3]) -> [B,S,S,3]``.
 
+    Order matches the host preset (``transforms_host.TrainPreset``):
+    RandomResizedCrop → HFlip → auto-augment policy → normalize → erase.
     The crop-resize matmuls run in ``compute_dtype`` (bf16 by default —
     sub-pixel resampling error ≪ the augmentation noise itself, and the MXU
     runs 8× faster than f32); normalization returns ``out_dtype``.
+    ``auto_augment='ta_wide'`` enables the batched TrivialAugmentWide
+    (``data/ta_wide_device.py``).
     """
 
     @partial(jax.jit, static_argnums=())
     def augment(key, batch_u8):
         b, h, w, _ = batch_u8.shape
-        k_box, k_flip, k_erase = jax.random.split(key, 3)
+        k_box, k_flip, k_ta, k_erase = jax.random.split(key, 4)
         imgs = batch_u8.astype(compute_dtype) / 255.0
         boxes = sample_rrc_boxes(k_box, b, h, w, scale, ratio)
         out = crop_resize_bilinear(imgs, boxes, image_size, image_size,
                                    dtype=compute_dtype)
         out = hflip(k_flip, out, hflip_prob)
+        if auto_augment == "ta_wide":
+            from .ta_wide_device import ta_wide
+
+            out = ta_wide(k_ta, out.astype(jnp.float32))
         out = normalize(out.astype(jnp.float32), mean, std)
         if erase_prob > 0:
             out = random_erase(k_erase, out, erase_prob)

@@ -147,6 +147,7 @@ class Trainer:
             self.device_augment = make_train_augment(
                 image_size=size,
                 erase_prob=float(tcfg.get("random_erase", 0.1)),
+                auto_augment=tcfg.get("auto_augment", "ta_wide"),
             )
             self.device_eval_prep = make_eval_transform(image_size=size)
         self.transformers = self.get_transformers(self.config.dataset.transformer)
