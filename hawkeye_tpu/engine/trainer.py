@@ -203,6 +203,15 @@ class Trainer:
 
         self.logger.info("Training Preparation Done!")
 
+    def __del__(self):
+        # close the TB event writer's background thread (reference
+        # train.py:112-114)
+        if getattr(self, "tb_writer", None) is not None:
+            try:
+                self.tb_writer.close()
+            except Exception:
+                pass
+
     # ------------------------------------------------------------------
     # factories (the reference's override surface, train.py:134-218)
     # ------------------------------------------------------------------
