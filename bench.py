@@ -34,6 +34,9 @@ def main():
     parser.add_argument("--no-aug", action="store_true",
                         help="skip device augmentation (ablation)")
     parser.add_argument("--no-donate", action="store_true")
+    parser.add_argument("--remat", action="store_true",
+                        help="rematerialize the forward in the backward "
+                             "(enables larger batches)")
     parser.add_argument("--model", choices=["resnet50", "bcnn"],
                         default="resnet50",
                         help="headline target: Baseline ResNet-50 or BCNN")
@@ -93,6 +96,9 @@ def main():
         loss = optax.softmax_cross_entropy_with_integer_labels(
             out["logits"], y).mean()
         return loss, new_stats
+
+    if args.remat:
+        loss_fn = jax.checkpoint(loss_fn)
 
     donate = () if args.no_donate else (0, 1, 2)
 
