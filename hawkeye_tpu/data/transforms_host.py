@@ -130,6 +130,66 @@ def trivial_augment_wide(img: Image.Image) -> Image.Image:
     return ops[name](img, m)
 
 
+# AutoAugment ImageNet policy: 25 sub-policies of (op, probability,
+# magnitude bin/10 within the op's TA range). Torchvision's table, expressed
+# against the shared op set above.
+_AA_IMAGENET = [
+    (("Posterize", 0.4, 8), ("Rotate", 0.6, 9)),
+    (("Solarize", 0.6, 5), ("AutoContrast", 0.6, None)),
+    (("Equalize", 0.8, None), ("Equalize", 0.6, None)),
+    (("Posterize", 0.6, 7), ("Posterize", 0.6, 6)),
+    (("Equalize", 0.4, None), ("Solarize", 0.2, 4)),
+    (("Equalize", 0.4, None), ("Rotate", 0.8, 8)),
+    (("Solarize", 0.6, 3), ("Equalize", 0.6, None)),
+    (("Posterize", 0.8, 5), ("Equalize", 1.0, None)),
+    (("Rotate", 0.2, 3), ("Solarize", 0.6, 8)),
+    (("Equalize", 0.6, None), ("Posterize", 0.4, 6)),
+    (("Rotate", 0.8, 8), ("Color", 0.4, 0)),
+    (("Rotate", 0.4, 9), ("Equalize", 0.6, None)),
+    (("Equalize", 0.0, None), ("Equalize", 0.8, None)),
+    (("AutoContrast", 0.6, None), ("Equalize", 1.0, None)),
+    (("Rotate", 0.8, 8), ("Color", 1.0, 2)),
+    (("Color", 0.8, 8), ("Solarize", 0.8, 7)),
+    (("Sharpness", 0.4, 7), ("AutoContrast", 0.6, None)),
+    (("ShearX", 0.6, 5), ("Equalize", 1.0, None)),
+    (("Color", 0.4, 0), ("Equalize", 0.6, None)),
+    (("Equalize", 0.4, None), ("Solarize", 0.2, 4)),
+    (("Solarize", 0.6, 5), ("AutoContrast", 0.6, None)),
+    (("AutoContrast", 0.4, None), ("Solarize", 0.2, 8)),
+    (("Equalize", 0.8, None), ("Invert", 0.1, None)),
+    (("Color", 0.6, 4), ("Contrast", 1.0, 8)),
+    (("Equalize", 0.8, None), ("Equalize", 0.6, None)),
+]
+
+# AutoAugment magnitude spaces differ from TA-wide (10 bins, tighter ranges)
+_AA_SPACE = {
+    "ShearX": (0.0, 0.3, True), "ShearY": (0.0, 0.3, True),
+    "TranslateX": (0.0, 150.0, True), "TranslateY": (0.0, 150.0, True),
+    "Rotate": (0.0, 30.0, True),
+    "Brightness": (0.0, 0.9, True), "Color": (0.0, 0.9, True),
+    "Contrast": (0.0, 0.9, True), "Sharpness": (0.0, 0.9, True),
+    "Posterize": (8.0, 4.0, False), "Solarize": (255.0, 0.0, False),
+    "AutoContrast": (0.0, 0.0, False), "Equalize": (0.0, 0.0, False),
+    "Invert": (0.0, 0.0, False),
+}
+
+
+def auto_augment(img: Image.Image) -> Image.Image:
+    """AutoAugment with the ImageNet policy (torchvision semantics)."""
+    ops = _ta_ops()
+    ops["Invert"] = lambda im, m: ImageOps.invert(im)
+    sub = random.choice(_AA_IMAGENET)
+    for name, prob, bin10 in sub:
+        if random.random() > prob:
+            continue
+        lo, hi, signed = _AA_SPACE[name]
+        m = lo if bin10 is None else lo + (hi - lo) * (bin10 / 9.0)
+        if signed and random.random() < 0.5:
+            m = -m
+        img = ops[name](img, m)
+    return img
+
+
 def rand_augment(img: Image.Image, num_ops=2, magnitude=9) -> Image.Image:
     """RandAugment (fixed magnitude out of 31 bins), torchvision flavor."""
     ops = _ta_ops()
@@ -201,6 +261,8 @@ class TrainPreset:
             img = trivial_augment_wide(img)
         elif self.policy == "ra":
             img = rand_augment(img, magnitude=self.ra_magnitude)
+        elif self.policy in ("aa", "imagenet"):
+            img = auto_augment(img)
         elif self.policy in (None, "none"):
             pass
         else:
