@@ -2,6 +2,7 @@
 synthetic data (SURVEY §4 item (c) writ large). Slow-ish on CPU; each case
 uses the smallest viable model."""
 
+import os
 import sys
 
 import pytest
@@ -9,7 +10,7 @@ import pytest
 import hawkeye_tpu.models  # noqa: F401
 from hawkeye_tpu.config import ConfigNode
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def tiny_config(tmp_path, name, model, criterion, *, batch_size=4, length=8,
