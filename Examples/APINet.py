@@ -44,6 +44,8 @@ class APINetTrainer(BalancedSamplerTrainer):
             kwargs["rngs"] = {"dropout": rng}
         if train:
             kwargs["labels"] = batch["label"]
+            if "weight" in batch:
+                kwargs["weight"] = batch["weight"]
         if mutable:
             out, mut = self.model.apply(variables, batch["img"], train=train,
                                         mutable=mutable, **kwargs)

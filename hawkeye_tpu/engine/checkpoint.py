@@ -29,8 +29,14 @@ def _to_host(tree):
 
 
 def save_model(path, variables):
-    """Weights-only save: {'params', 'batch_stats'} msgpack."""
-    payload = {k: v for k, v in variables.items() if k in ("params", "batch_stats")}
+    """Weights-only save: ALL variable collections, msgpack.
+
+    Saving every collection (not just params/batch_stats) matters for
+    methods with non-gradient state — e.g. ProtoTree's learned leaf
+    distributions live in the 'tree_leaves' collection
+    (``models/methods/prototree.py:115-117``); dropping them would reload
+    uniform leaves (chance-level predictions)."""
+    payload = dict(variables)
     with open(path, "wb") as f:
         f.write(serialization.to_bytes(_to_host(payload)))
 
@@ -56,8 +62,14 @@ def load_model(path, target_variables, logger=None, strict=False):
     flat_stats = {
         "/".join(k): v for k, v in flatten_dict(raw.get("batch_stats", {})).items()
     }
+    # extra (non-gradient) collections, e.g. ProtoTree 'tree_leaves'
+    flat_other = {
+        col: {"/".join(k): v for k, v in flatten_dict(raw[col]).items()}
+        for col in raw
+        if col not in ("params", "batch_stats")
+    }
     merged, report = merge_into(target_variables, flat_params, flat_stats,
-                                logger=logger)
+                                flat_other=flat_other, logger=logger)
     if strict and (report["skipped_missing"] or report["skipped_shape"]):
         raise ValueError(f"strict load failed: {report}")
     return merged
@@ -68,8 +80,7 @@ def save_checkpoint(path, *, epoch, variables, opt_state, scheduler_state=None,
     """Full training state (model + optimizer + scheduler + counters)."""
     payload = {
         "epoch": np.asarray(epoch),
-        "variables": _to_host(
-            {k: v for k, v in variables.items() if k in ("params", "batch_stats")}),
+        "variables": _to_host(dict(variables)),
         "opt_state": _to_host(serialization.to_state_dict(opt_state)),
     }
     meta = {"scheduler": scheduler_state or {}, "extra": extra or {}}
@@ -87,9 +98,14 @@ def load_checkpoint(path, *, variables_like, opt_state_like):
     with open(path, "rb") as f:
         raw = serialization.msgpack_restore(f.read())
     epoch = int(raw["epoch"])
-    variables = serialization.from_state_dict(
-        {k: v for k, v in variables_like.items() if k in ("params", "batch_stats")},
-        raw["variables"])
+    # restore every collection the checkpoint carries; collections present
+    # only in the target (older checkpoints) keep their init values
+    saved = raw["variables"]
+    variables = dict(variables_like)
+    for col in variables_like:
+        if col in saved:
+            variables[col] = serialization.from_state_dict(
+                variables_like[col], saved[col])
     opt_state = serialization.from_state_dict(opt_state_like, raw["opt_state"])
     meta_path = path + ".meta.json"
     scheduler_state, extra = {}, {}

@@ -280,15 +280,32 @@ class Trainer:
 
     def get_dataloader(self, ds_config):
         workers = int(ds_config.get("num_workers", 4))
-        return {
-            split: DataLoader(
-                self.datasets[split],
-                self.get_sampler(split, ds_config),
+        # Multi-host SPMD (SURVEY §2.7: "host data loading sharded per
+        # process"): each process loads only its slice of every global batch.
+        # num_processes/process_index config keys exist so the slicing logic
+        # is testable on a single host; real runs default to jax.process_*.
+        n_proc = int(ds_config.get("num_processes", jax.process_count()))
+        proc_idx = int(ds_config.get("process_index", jax.process_index()))
+        loaders = {}
+        for split in self.datasets:
+            dataset = self.datasets[split]
+            sampler = self.get_sampler(split, ds_config)
+            if n_proc > 1:
+                from ..parallel import (
+                    PaddingAwareDataset,
+                    ProcessShardedBatchSampler,
+                )
+
+                sampler = ProcessShardedBatchSampler(
+                    sampler, process_index=proc_idx, process_count=n_proc)
+                dataset = PaddingAwareDataset(dataset)
+            loaders[split] = DataLoader(
+                dataset,
+                sampler,
                 num_workers=workers,
                 collate_fn=self.collate_fn[split],
             )
-            for split in self.datasets
-        }
+        return loaders
 
     def get_model(self, model_config):
         return MODEL.get(model_config.name)(model_config)
@@ -483,7 +500,11 @@ class Trainer:
             bs = int(self.config.dataset.batch_size)
             target = -((-max(bs, n)) // self.n_devices) * self.n_devices
         pad = target - n
-        weight = np.ones((n,), np.float32)
+        # respect pre-existing per-row weights (multi-host padding rows
+        # arrive already weighted 0 by PaddingAwareDataset)
+        existing = batch.get("weight")
+        weight = (np.ones((n,), np.float32) if existing is None
+                  else np.asarray(existing, np.float32))
         if pad:
             batch = {
                 k: np.concatenate([v, np.repeat(v[-1:], pad, axis=0)])
@@ -495,6 +516,10 @@ class Trainer:
         batch = dict(batch)
         batch["weight"] = weight
         batch["img"] = np.ascontiguousarray(batch["img"])
+        if jax.process_count() > 1:
+            from ..parallel import global_batch_from_local
+
+            return global_batch_from_local(self.mesh, batch)
         return shard_batch(self.mesh, batch)
 
     # ------------------------------------------------------------------
@@ -703,6 +728,11 @@ class Trainer:
         self.state = self.state.replace(
             params=variables["params"],
             batch_stats=variables.get("batch_stats", {}),
+            extra_vars={
+                k: v
+                for k, v in variables.items()
+                if k not in ("params", "batch_stats")
+            },
             opt_state=opt_state,
             step=jnp.asarray(extra.get("step", 0), jnp.int32),
         )

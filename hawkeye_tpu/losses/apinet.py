@@ -27,17 +27,23 @@ class APINetLoss:
         self_logits = outputs["self_logits"]   # [2N, C]
         other_logits = outputs["other_logits"]  # [2N, C]
         labels = outputs["pair_labels"]         # [2N]
+        pair_w = outputs.get("pair_weight")     # [2N] or None
 
         logits = jnp.concatenate([self_logits, other_logits], axis=0)
         targets = jnp.concatenate([labels, labels], axis=0)
-        softmax_loss = cross_entropy(logits, targets, 0.1)
+        ce_w = None if pair_w is None else jnp.concatenate([pair_w, pair_w])
+        softmax_loss = cross_entropy(logits, targets, 0.1, weights=ce_w)
 
         n2 = self_logits.shape[0]
         idx = jnp.arange(n2)
         self_scores = jax.nn.softmax(self_logits, axis=-1)[idx, labels]
         other_scores = jax.nn.softmax(other_logits, axis=-1)[idx, labels]
         # MarginRankingLoss(margin)(x1, x2, y=1) = mean(max(0, -(x1-x2)+m))
-        rank_loss = jnp.maximum(0.0, -(self_scores - other_scores) + self.margin).mean()
+        hinge = jnp.maximum(0.0, -(self_scores - other_scores) + self.margin)
+        if pair_w is None:
+            rank_loss = hinge.mean()
+        else:
+            rank_loss = (hinge * pair_w).sum() / jnp.maximum(pair_w.sum(), 1.0)
         return softmax_loss + rank_loss
 
 

@@ -21,8 +21,10 @@ from . import cross_entropy
 from ..registry import LOSS
 
 
-def npairs_mamc(parts, labels):
-    """parts: [B, P, D]; labels: [B] int. Returns scalar n-pairs loss."""
+def npairs_mamc(parts, labels, weights=None):
+    """parts: [B, P, D]; labels: [B] int; weights: [B] 0/1 padding mask
+    (pad rows are duplicated real samples — they must not contribute as
+    anchors, positives, or negatives). Returns scalar n-pairs loss."""
     b, p, d = parts.shape
     n = b * p
     x = parts.reshape(n, d).astype(jnp.float32)
@@ -34,10 +36,18 @@ def npairs_mamc(parts, labels):
     same_class = lab[:, None] == lab[None, :]
     same_part = part[:, None] == part[None, :]
 
-    s_sasc = same_class & same_part
-    s_sadc = (~same_class) & same_part
-    s_dasc = same_class & (~same_part)
-    s_dadc = (~same_class) & (~same_part)
+    if weights is None:
+        valid = jnp.ones((n,), bool)
+        n_anchor = jnp.asarray(float(n))
+    else:
+        valid = jnp.repeat(weights > 0, p)  # [n]
+        n_anchor = jnp.maximum(valid.sum().astype(jnp.float32), 1.0)
+    vpair = valid[:, None] & valid[None, :]
+
+    s_sasc = same_class & same_part & vpair
+    s_sadc = (~same_class) & same_part & vpair
+    s_dasc = same_class & (~same_part) & vpair
+    s_dadc = (~same_class) & (~same_part) & vpair
 
     def quadrant_loss(pos_mask, neg_mask):
         # S_i = sum over negatives of exp(sim)
@@ -50,7 +60,7 @@ def npairs_mamc(parts, labels):
         + quadrant_loss(s_sadc, s_dadc)
         + quadrant_loss(s_dasc, s_dadc)
     )
-    return loss / n
+    return loss / n_anchor
 
 
 class MAMCLoss:
@@ -67,8 +77,8 @@ class MAMCLoss:
                                 weights=batch.get("weight"))
         if not self.use_mamc or "parts" not in outputs:
             return loss_ce
-        return loss_ce + self.lambda_a * npairs_mamc(outputs["parts"],
-                                                     batch["label"])
+        return loss_ce + self.lambda_a * npairs_mamc(
+            outputs["parts"], batch["label"], weights=batch.get("weight"))
 
 
 LOSS.register(MAMCLoss, name="MAMCLoss")

@@ -21,21 +21,25 @@ import jax.numpy as jnp
 from ...registry import BACKBONE, MODEL
 
 
-def mine_pairs(embeddings, labels):
+def mine_pairs(embeddings, labels, valid=None):
     """Nearest same-class and different-class indices per sample.
 
     Matches ``APINet.get_pairs`` semantics: distances by squared L2; the
     diagonal excluded from the intra search; rows with no candidate fall
-    back to index 0 (numpy argmin over all-inf does the same).
+    back to index 0 (numpy argmin over all-inf does the same). ``valid``
+    ([B] bool) excludes padding rows (duplicated real samples on device-
+    multiple padding) from the candidate pool so they never skew mining.
     """
     sq = jnp.sum(embeddings**2, axis=1)
     dist = sq[:, None] + sq[None, :] - 2.0 * (embeddings @ embeddings.T)
     n = embeddings.shape[0]
     eye = jnp.eye(n, dtype=bool)
     same = labels[:, None] == labels[None, :]
+    ok = jnp.ones((n,), bool) if valid is None else valid
     inf = jnp.asarray(jnp.inf, dist.dtype)
-    intra_idx = jnp.argmin(jnp.where(same & ~eye, dist, inf), axis=1)
-    inter_idx = jnp.argmin(jnp.where(~same, dist, inf), axis=1)
+    intra_idx = jnp.argmin(
+        jnp.where(same & ~eye & ok[None, :], dist, inf), axis=1)
+    inter_idx = jnp.argmin(jnp.where((~same) & ok[None, :], dist, inf), axis=1)
     return intra_idx, inter_idx
 
 
@@ -53,14 +57,16 @@ class APINet(nn.Module):
         self.fc = nn.Dense(self.num_classes, dtype=jnp.float32, name="fc")
         self.drop = nn.Dropout(0.5)
 
-    def __call__(self, x, train: bool = False, labels=None):
+    def __call__(self, x, train: bool = False, labels=None, weight=None):
         pool = self.backbone(x, train=train)["pool"]  # [B, 2048] f32
         logits_plain = self.fc(pool)
         out = {"logits": logits_plain}
         if not train or labels is None:
             return out
 
-        intra_idx, inter_idx = mine_pairs(jax.lax.stop_gradient(pool), labels)
+        valid = None if weight is None else weight > 0
+        intra_idx, inter_idx = mine_pairs(
+            jax.lax.stop_gradient(pool), labels, valid=valid)
         # anchors repeated for (intra, inter) pairs → 2B pairs
         f1 = jnp.concatenate([pool, pool], axis=0)
         f2 = jnp.concatenate([pool[intra_idx], pool[inter_idx]], axis=0)
@@ -85,6 +91,11 @@ class APINet(nn.Module):
         out["other_logits"] = jnp.concatenate([head(f1_other), head(f2_other)],
                                               axis=0)
         out["pair_labels"] = jnp.concatenate([l1, l2], axis=0)
+        if weight is not None:
+            # every pair row inherits the ANCHOR's validity: a pair mined
+            # for a padding anchor is bogus even though its neighbor is real
+            w1 = jnp.concatenate([weight, weight], axis=0)  # [2B] anchors
+            out["pair_weight"] = jnp.concatenate([w1, w1], axis=0)  # [4B]
         return out
 
 

@@ -164,12 +164,14 @@ def load_pretrained_backbone(variables, path, backbone_kind, subpath=("backbone"
     return load_model(path, variables, logger=logger)
 
 
-def merge_into(variables, flat_params, flat_stats=None, subpath=(), logger=None):
+def merge_into(variables, flat_params, flat_stats=None, subpath=(), logger=None,
+               flat_other=None):
     """Shape-checked partial merge of flat '/'-keyed arrays into flax variables.
 
     Only keys present in the target with matching shapes are copied
     (reference semantics: ``model/utils.py:28-33``). ``subpath`` roots the
-    merge at a submodule (e.g. ('backbone',)).
+    merge at a submodule (e.g. ('backbone',)). ``flat_other`` maps extra
+    collection names (e.g. 'tree_leaves') to their own flat dicts.
     """
     variables = unfreeze(variables)
     report = {"loaded": 0, "skipped_missing": [], "skipped_shape": []}
@@ -193,6 +195,8 @@ def merge_into(variables, flat_params, flat_stats=None, subpath=(), logger=None)
 
     _merge("params", flat_params)
     _merge("batch_stats", flat_stats or {})
+    for col, flat in (flat_other or {}).items():
+        _merge(col, flat)
     if logger is not None:
         logger.info(
             f"partial load: {report['loaded']} tensors loaded, "

@@ -5,7 +5,11 @@ from .mesh import (
     replicated,
     shard_batch,
 )
-from .multihost import ProcessShardedBatchSampler, global_batch_from_local
+from .multihost import (
+    PaddingAwareDataset,
+    ProcessShardedBatchSampler,
+    global_batch_from_local,
+)
 
 __all__ = [
     "make_mesh",
@@ -13,6 +17,7 @@ __all__ = [
     "replicated",
     "shard_batch",
     "replicate_tree",
+    "PaddingAwareDataset",
     "ProcessShardedBatchSampler",
     "global_batch_from_local",
 ]

@@ -41,12 +41,44 @@ class ProcessShardedBatchSampler:
         n = self.process_count
         i = self.process_index
         for batch in self.inner:
+            batch = np.asarray(batch, dtype=np.int64)
+            rem = (-len(batch)) % n
+            if rem:
+                # Pad the GLOBAL batch to a process multiple instead of
+                # truncating (a drop_last=False val tail must still be
+                # evaluated exactly once on some host). Padding indices are
+                # encoded as -1 - idx; PaddingAwareDataset decodes them and
+                # marks the row weight 0 so it never counts.
+                pad = np.full((rem,), -1 - int(batch[-1]), dtype=np.int64)
+                batch = np.concatenate([batch, pad])
             per = len(batch) // n
-            assert per > 0, "global batch smaller than process count"
-            yield np.asarray(batch[i * per:(i + 1) * per])
+            yield batch[i * per:(i + 1) * per]
 
     def __len__(self):
         return len(self.inner)
+
+
+class PaddingAwareDataset:
+    """Decodes ProcessShardedBatchSampler's encoded padding indices.
+
+    Real index i → item + weight 1; encoded pad (-1 - i) → a copy of item i
+    with weight 0, so the padded row flows through collate/prepare_batch and
+    is masked out of every loss/metric."""
+
+    def __init__(self, dataset):
+        self.dataset = dataset
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def __getitem__(self, idx):
+        idx = int(idx)
+        pad = idx < 0
+        if pad:
+            idx = -1 - idx
+        item = dict(self.dataset[idx])
+        item["weight"] = np.float32(0.0 if pad else 1.0)
+        return item
 
 
 def global_batch_from_local(mesh, local_batch: dict, axis_name="data") -> dict:

@@ -1,0 +1,97 @@
+"""Non-gradient variable collections must survive save/resume/eval.
+
+Regression test for the round-1 bug where save_model/save_checkpoint kept
+only ('params', 'batch_stats'), silently resetting ProtoTree's learned leaf
+distributions ('tree_leaves' collection) to uniform on every reload.
+Reference full-state semantics: ``train.py:378-395`` +
+``Examples/ProtoTreeNet.py:115-131``.
+"""
+
+import os
+import sys
+
+import numpy as np
+
+import hawkeye_tpu.models  # noqa: F401
+from hawkeye_tpu.config import ConfigNode
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _cfg(tmp_path, name, epoch=1):
+    cfg = ConfigNode({
+        "experiment": {"name": name, "log_dir": str(tmp_path / name),
+                       "seed": 0, "debug": True},
+        "dataset": {"name": "synthetic", "length": 8, "batch_size": 4,
+                    "num_workers": 0,
+                    "transformer": {"image_size": 64, "resize_size": 72}},
+        "model": {"name": "ProtoTreeNet", "num_classes": 4, "height": 3,
+                  "num_features": 16,
+                  "backbone": {"name": "resnet18"}},
+        "train": {"epoch": epoch, "save_frequence": 1,
+                  "optimizer": {"name": "Adam", "lr": 0.001},
+                  "scheduler": {"name": "CosineAnnealingLR", "T_max": epoch},
+                  "criterion": {"name": "ProtoTreeLoss"}},
+    })
+    cfg.freeze()
+    return cfg
+
+
+def _leaves(state_or_vars):
+    if hasattr(state_or_vars, "extra_vars"):
+        return np.asarray(
+            state_or_vars.extra_vars["tree_leaves"]["dist_params"])
+    return np.asarray(state_or_vars["tree_leaves"]["dist_params"])
+
+
+def test_prototree_leaves_survive_save_and_resume(tmp_path):
+    from Examples.ProtoTreeNet import ProtoTreeTrainer
+
+    trainer = ProtoTreeTrainer(_cfg(tmp_path, "pt_train"))
+    trainer.train()
+    leaves = _leaves(trainer.state)
+    assert np.abs(leaves).max() > 1e-6, "leaf update never ran"
+
+    # weights-only save → Tester-style reload into a fresh model
+    model_path = os.path.join(trainer.log_root, "final_model.msgpack")
+    trainer.save_model(model_path)
+
+    from hawkeye_tpu.engine import checkpoint as ckpt
+
+    fresh = trainer.model.init(
+        {"params": __import__("jax").random.PRNGKey(1),
+         "dropout": __import__("jax").random.PRNGKey(2)},
+        np.zeros((2, 64, 64, 3), np.float32), train=False)
+    restored = ckpt.load_model(model_path, fresh)
+    np.testing.assert_allclose(_leaves(restored), leaves, rtol=1e-6)
+
+    # full checkpoint → resume restores the leaves too
+    ckpt_path = os.path.join(trainer.log_root, "checkpoint_epoch_0.msgpack")
+    assert os.path.exists(ckpt_path)
+    cfg2 = _cfg(tmp_path, "pt_resume", epoch=2).clone().defrost()
+    cfg2.experiment.resume = ckpt_path
+    cfg2.freeze()
+    t2 = ProtoTreeTrainer(cfg2)
+    np.testing.assert_allclose(_leaves(t2.state), leaves, rtol=1e-6)
+    t2.train()  # and training continues from the restored state
+
+
+def test_tester_reads_extra_collections(tmp_path):
+    from Examples.ProtoTreeNet import ProtoTreeTrainer
+    from hawkeye_tpu.engine.tester import Tester
+
+    trainer = ProtoTreeTrainer(_cfg(tmp_path, "pt_for_test"))
+    trainer.train()
+    leaves = _leaves(trainer.state)
+    model_path = os.path.join(trainer.log_root, "best.msgpack")
+    trainer.save_model(model_path)
+
+    tcfg = _cfg(tmp_path, "pt_tester").clone().defrost()
+    tcfg.model.load = model_path
+    tcfg.freeze()
+    tester = Tester(tcfg)
+    import jax
+
+    host_vars = jax.device_get(tester.variables)
+    np.testing.assert_allclose(_leaves(host_vars), leaves, rtol=1e-6)
+    tester.test()

@@ -29,3 +29,79 @@ def test_epoch_consistency_across_processes():
     b = list(sb)
     for x, y in zip(a, b):
         assert set(x.tolist()).isdisjoint(y.tolist())
+
+
+def test_val_tail_padded_not_truncated():
+    """A drop_last=False tail smaller than / not divisible by the process
+    count is padded with weight-0 rows, never silently dropped (ADVICE r1)."""
+    from hawkeye_tpu.data.sampler import SequentialBatchSampler
+    from hawkeye_tpu.parallel.multihost import PaddingAwareDataset
+
+    inner = SequentialBatchSampler(10, batch_size=4, drop_last=False)  # tail=2
+    shards = [
+        list(ProcessShardedBatchSampler(inner, process_index=i, process_count=4))
+        for i in range(4)
+    ]
+    seen = []
+    for b in range(len(shards[0])):
+        for i in range(4):
+            seen.extend(shards[i][b].tolist())
+    decoded = [(-1 - s) if s < 0 else s for s in seen]
+    real = [s for s in seen if s >= 0]
+    # every dataset index appears exactly once as a REAL (non-pad) index
+    assert sorted(real) == list(range(10))
+    # pads decode to valid indices
+    assert all(0 <= d < 10 for d in decoded)
+
+    class _DS:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            return {"label": np.int64(i)}
+
+    ds = PaddingAwareDataset(_DS())
+    item_real = ds[3]
+    item_pad = ds[-1 - 3]
+    assert item_real["weight"] == 1.0 and item_real["label"] == 3
+    assert item_pad["weight"] == 0.0 and item_pad["label"] == 3
+
+
+def test_trainer_simulated_two_processes(tmp_path):
+    """Logic-level multi-host wiring: two Trainer instances configured as
+    process 0/1 of 2 together cover every sample exactly once per epoch."""
+    import hawkeye_tpu.models  # noqa: F401
+    from hawkeye_tpu.config import ConfigNode
+    from hawkeye_tpu.engine import Trainer
+
+    def cfg(i):
+        c = ConfigNode({
+            "experiment": {"name": f"mh{i}", "log_dir": str(tmp_path / f"mh{i}"),
+                           "seed": 0, "debug": True},
+            "dataset": {"name": "synthetic", "length": 20, "batch_size": 8,
+                        "num_workers": 0, "num_processes": 2,
+                        "process_index": i,
+                        "transformer": {"image_size": 32, "resize_size": 36}},
+            "model": {"name": "ResNet18", "num_classes": 4},
+            "train": {"epoch": 1,
+                      "optimizer": {"name": "SGD", "lr": 0.01},
+                      "scheduler": {"name": "CosineAnnealingLR", "T_max": 1},
+                      "criterion": {"name": "CrossEntropyLoss"}},
+        })
+        c.freeze()
+        return c
+
+    t0, t1 = Trainer(cfg(0)), Trainer(cfg(1))
+    # synthetic val split is length//4 = 5 samples, drop_last=False → one
+    # global batch of 5, padded to 6 → 3 rows per process, one weight-0 pad
+    counts = []
+    for t in (t0, t1):
+        n = 0.0
+        for batch in t.dataloaders["val"]:
+            db = t.prepare_batch(batch, train=False)
+            n += float(np.asarray(db["weight"]).sum())
+        counts.append(n)
+    assert sum(counts) == 5.0, counts
+    # and one train step runs end-to-end on the local slice
+    m0 = t0.validate()
+    assert "acc" in m0
