@@ -11,9 +11,16 @@ TPU-first choices (deliberately NOT a translation):
   f32 BatchNorm statistics.
 - Stage outputs are returned as a dict so method heads (NTS/CrossX/APCNN/...)
   tap intermediate feature maps without forward hooks.
-- BatchNorm is per-device by default (matches the reference's DataParallel
-  per-replica statistics, SURVEY §7); pass ``bn_cross_replica_axis`` to sync
-  over a mesh axis instead.
+- BatchNorm statistics: under the Trainer's jit-SPMD train step (no
+  ``axis_name``), XLA computes batch statistics over the GLOBAL sharded
+  batch — i.e. sync-BN across all chips. This differs from the reference's
+  ``DataParallel``, which computes per-replica statistics; sync-BN over the
+  same global batch is statistically stronger (more samples per estimate)
+  and the expected parity impact is neutral-to-positive. For a per-device-
+  stats forward (e.g. exact replication of per-replica BN), wrap the model
+  in ``shard_map`` over the data axis; ``bn_cross_replica_axis`` exists for
+  explicitly syncing inside such a pmap/shard_map region. Pinned by
+  ``tests/test_bn_semantics.py``.
 """
 
 from __future__ import annotations

@@ -47,6 +47,7 @@ class APINet(nn.Module):
     num_classes: int
     backbone_name: str = "resnet101"
     feature_dim: int = 2048
+    dropout_rate: float = 0.5
     dtype: Any = jnp.bfloat16
 
     def setup(self):
@@ -55,7 +56,7 @@ class APINet(nn.Module):
         self.map1 = nn.Dense(512, dtype=jnp.float32, name="map1")
         self.map2 = nn.Dense(self.feature_dim, dtype=jnp.float32, name="map2")
         self.fc = nn.Dense(self.num_classes, dtype=jnp.float32, name="fc")
-        self.drop = nn.Dropout(0.5)
+        self.drop = nn.Dropout(self.dropout_rate)
 
     def __call__(self, x, train: bool = False, labels=None, weight=None):
         pool = self.backbone(x, train=train)["pool"]  # [B, 2048] f32

@@ -38,7 +38,11 @@ class BCNN(nn.Module):
         self.fc = nn.Dense(self.num_classes, dtype=jnp.float32, name="fc")
 
     def __call__(self, x, train: bool = False):
-        feats = self.backbone(x, train=train)["features"]  # relu5_3 map
+        # The reference's backbone is the WHOLE torchvision features stack
+        # including the final maxpool (``nn.Sequential(*list(children)[:-2]
+        # [0])`` unpacks all of ``features``, model/methods/BCNN.py:38-39),
+        # so bilinear pooling consumes the post-pool5 map (14x14 at 448).
+        feats = self.backbone(x, train=train)["pooled_features"]
         if self.stage == 1:
             feats = jax.lax.stop_gradient(feats)
         if self.fused_pooling:

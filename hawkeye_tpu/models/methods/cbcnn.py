@@ -38,7 +38,9 @@ class CBCNN(nn.Module):
             make_sketch_matrix(self.input_channel, self.output_channel, 5, 7))
 
     def __call__(self, x, train: bool = False):
-        feats = self.backbone(x, train=train)["features"]
+        # post-pool5 map, matching the reference's full-features backbone
+        # (model/methods/CBCNN.py:21-22; see bcnn.py note)
+        feats = self.backbone(x, train=train)["pooled_features"]
         if self.stage == 1:
             feats = jax.lax.stop_gradient(feats)
         v = compact_bilinear_pool(feats, self.sketch1, self.sketch2)

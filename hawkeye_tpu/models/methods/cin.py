@@ -63,9 +63,9 @@ class CIN(nn.Module):
         yb = y.reshape(b, -1)
         partner = jnp.roll(jnp.arange(b), -(b // 2))
         y_a = jnp.concatenate([yb, yb[partner]], axis=1)
-        # per-sample scalar gate η_ab from the (self, partner) concatenation
-        # (paper eq. 6; the reference's cat(eta, gamma) construction is
-        # shape-inconsistent — see loss module docstring on reference bugs)
+        # per-sample scalar gate η_ab from the (self, partner) concatenation;
+        # equals the reference's cat(eta, gamma) construction exactly
+        # (CIN.py:44-52; pinned by tests/test_reference_parity.py)
         weight = gate_fc(y_a)  # [B, 1]
         w_sci_partner = w_sci[partner]
         w_cci = jnp.abs(w_sci - weight[:, :, None] * w_sci_partner)

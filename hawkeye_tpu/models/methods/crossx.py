@@ -21,7 +21,7 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ...ops.resample import resize_bilinear
+from ...ops.resample import resize_nearest
 from ...registry import MODEL
 from ..backbones.resnet import Bottleneck
 
@@ -127,8 +127,8 @@ class CrossXNet(nn.Module):
         for i in range(self.num_parts):
             u = nn.Conv(1024, (1, 1), use_bias=False, dtype=self.dtype,
                         name=f"conv2_{i}")(ulti_parts[i])
-            u = resize_bilinear(u.astype(jnp.float32), plty_hw, plty_hw).astype(
-                self.dtype)
+            # nearest (torch F.interpolate default, CrossX.py:215) — parity
+            u = resize_nearest(u, plty_hw, plty_hw)
             f = nn.Conv(1024, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
                         dtype=self.dtype, name=f"conv3_{i}")(plty_parts[i] + u)
             f = norm(name=f"bn3_{i}")(f)

@@ -37,7 +37,8 @@ def make_sketch_matrix(in_dim: int, out_dim: int, seed_h: int, seed_s: int,
 
 
 def compact_bilinear_pool(features, sketch1, sketch2, *, signed_sqrt=True,
-                          l2_normalize=True, eps=1e-5):
+                          l2_normalize=True, eps=1e-10):
+    # eps default matches the reference's signed sqrt (CBCNN.py:133)
     """[B, H, W, C] → [B, d] compact bilinear descriptor.
 
     sketch1/sketch2: [C, d] dense count-sketch matrices (jnp arrays).

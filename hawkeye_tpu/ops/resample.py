@@ -158,3 +158,13 @@ def grid_sample_bilinear(images, grid):
     top = v00 * (1 - wx1) + v01 * wx1
     bot = v10 * (1 - wx1) + v11 * wx1
     return top * (1 - wy1) + bot * wy1
+
+
+def resize_nearest(images, out_h: int, out_w: int):
+    """Nearest-neighbor resize matching ``F.interpolate(mode='nearest')``:
+    src index = floor(dst * in/out). Used by CrossX fusion (reference
+    ``model/methods/CrossX.py:215-226`` upsamples with the torch default)."""
+    b, h, w, c = images.shape
+    iy = jnp.floor(jnp.arange(out_h) * (h / out_h)).astype(jnp.int32)
+    ix = jnp.floor(jnp.arange(out_w) * (w / out_w)).astype(jnp.int32)
+    return images[:, iy][:, :, ix]

@@ -1,0 +1,195 @@
+"""Utilities for numerical-parity tests against the mounted torch reference.
+
+The reference (``/root/reference``, read-only) is pure PyTorch; torch (CPU)
+is installed in this image. These helpers import the reference package with
+its missing third-party deps stubbed (yacs, torchvision) and its torch.hub
+downloads short-circuited (zero egress — pretrained content is irrelevant
+because every test transplants the reference module's OWN state_dict into
+the Flax model).
+
+Parity contract (VERDICT r1 item 1): identical weights + identical input ⇒
+forward (and where feasible backward) agreement to f32-meaningful tolerance,
+with documented deltas where parity is intentionally broken.
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+
+import numpy as np
+
+REF_ROOT = "/root/reference"
+_loaded = {}
+
+
+class RefCfg(dict):
+    """Duck-typed stand-in for the reference's yacs CfgNode: attribute access
+    + ``'key' in config`` probing (reference ``config.py:5-18``)."""
+
+    def __getattr__(self, k):
+        try:
+            v = self[k]
+        except KeyError:
+            raise AttributeError(k) from None
+        return RefCfg(v) if isinstance(v, dict) else v
+
+
+def load_reference():
+    """Import and return the reference ``model`` package (idempotent)."""
+    if "model" in _loaded:
+        return _loaded["model"]
+    if REF_ROOT not in sys.path:
+        sys.path.insert(0, REF_ROOT)
+
+    if "yacs" not in sys.modules:
+        yacs = types.ModuleType("yacs")
+        cfgmod = types.ModuleType("yacs.config")
+        cfgmod.CfgNode = RefCfg
+        yacs.config = cfgmod
+        sys.modules["yacs"] = yacs
+        sys.modules["yacs.config"] = cfgmod
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tvm = types.ModuleType("torchvision.models")
+        tv.models = tvm
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.models"] = tvm
+
+    import model.backbone.resnet as rresnet
+    import model.backbone.vgg as rvgg
+
+    _vgg_cfg = {"vgg11": "A", "vgg13": "B", "vgg16": "D", "vgg19": "E"}
+
+    def _fake_vgg_fetch(url, progress=True, **kw):
+        arch = next(k for k, v in rvgg.model_urls.items() if v == url)
+        base = arch.replace("_bn", "")
+        m = rvgg.VGG(rvgg.make_layers(rvgg.cfgs[_vgg_cfg[base]],
+                                      batch_norm=arch.endswith("_bn")))
+        return m.state_dict()
+
+    rvgg.load_state_dict_from_url = _fake_vgg_fetch
+    # resnet uses the reference's shape-checked partial load -> {} is a no-op
+    rresnet.load_state_dict_from_url = lambda url, progress=True, **kw: {}
+
+    import model
+
+    _loaded["model"] = model
+    return model
+
+
+def sd_numpy(module):
+    """torch module → {name: np.float32 array} state dict."""
+    return {k: v.detach().cpu().numpy()
+            for k, v in module.state_dict().items()}
+
+
+def to_torch_nchw(x_nhwc):
+    import torch
+
+    return torch.from_numpy(
+        np.ascontiguousarray(np.transpose(x_nhwc, (0, 3, 1, 2))))
+
+
+def transplant(variables, flat_params, flat_stats=None, flat_other=None,
+               require_all_loaded=True):
+    """merge_into + assert every provided tensor landed (no typo'd paths)."""
+    from hawkeye_tpu.models.weights import merge_into
+
+    merged, report = merge_into(variables, flat_params, flat_stats,
+                                flat_other=flat_other)
+    if require_all_loaded:
+        assert not report["skipped_missing"], report["skipped_missing"]
+        assert not report["skipped_shape"], report["skipped_shape"]
+    return merged
+
+
+def dense(flat, name, sd, torch_name):
+    """Map a torch nn.Linear into flat dict entries."""
+    flat[f"{name}/kernel"] = sd[f"{torch_name}.weight"].T
+    if f"{torch_name}.bias" in sd:
+        flat[f"{name}/bias"] = sd[f"{torch_name}.bias"]
+
+
+def conv(flat, name, sd, torch_name):
+    """Map a torch nn.Conv2d into flat dict entries (OIHW→HWIO)."""
+    flat[f"{name}/kernel"] = np.transpose(sd[f"{torch_name}.weight"],
+                                          (2, 3, 1, 0))
+    if f"{torch_name}.bias" in sd:
+        flat[f"{name}/bias"] = sd[f"{torch_name}.bias"]
+
+
+def bn(flat_p, flat_s, name, sd, torch_name):
+    flat_p[f"{name}/scale"] = sd[f"{torch_name}.weight"]
+    flat_p[f"{name}/bias"] = sd[f"{torch_name}.bias"]
+    flat_s[f"{name}/mean"] = sd[f"{torch_name}.running_mean"]
+    flat_s[f"{name}/var"] = sd[f"{torch_name}.running_var"]
+
+
+def resnet_backbone_flat(sd, torch_prefix="backbone.", flax_prefix="backbone/"):
+    """Convert a torchvision-style resnet subtree of a state dict into flat
+    (params, stats) dicts under ``flax_prefix``."""
+    from hawkeye_tpu.models.weights import convert_torchvision_resnet
+
+    sub = {k[len(torch_prefix):]: v for k, v in sd.items()
+           if k.startswith(torch_prefix)}
+    p, s = convert_torchvision_resnet(sub)
+    return ({flax_prefix + k: v for k, v in p.items()},
+            {flax_prefix + k: v for k, v in s.items()})
+
+
+def vgg_backbone_flat(sd, torch_prefix="backbone.", flax_prefix="backbone/"):
+    """Reference BCNN/CBCNN flatten VGG ``features`` into ``backbone.<i>``;
+    rename to ``features.<i>`` and reuse the torchvision converter."""
+    from hawkeye_tpu.models.weights import convert_torchvision_vgg
+
+    sub = {"features." + k[len(torch_prefix):]: v for k, v in sd.items()
+           if k.startswith(torch_prefix)}
+    p, s = convert_torchvision_vgg(sub)
+    return ({flax_prefix + k: v for k, v in p.items()},
+            {flax_prefix + k: v for k, v in s.items()})
+
+
+_RESNET_SEQ_NAMES = {"0": "conv1", "1": "bn1", "4": "layer1", "5": "layer2",
+                     "6": "layer3", "7": "layer4"}
+
+
+def resnet_seq_flat(sd, torch_prefix="backbone.", flax_prefix="backbone/"):
+    """Several reference methods wrap resnet as ``nn.Sequential(children()
+    [:-2])`` (e.g. MPNCOV.py:28-29), renaming conv1→0, bn1→1, layer1→4, ...;
+    undo that and reuse the torchvision converter."""
+    from hawkeye_tpu.models.weights import convert_torchvision_resnet
+
+    sub = {}
+    for k, v in sd.items():
+        if not k.startswith(torch_prefix):
+            continue
+        rest = k[len(torch_prefix):]
+        idx, _, tail = rest.partition(".")
+        sub[f"{_RESNET_SEQ_NAMES[idx]}.{tail}" if tail else
+            _RESNET_SEQ_NAMES[idx]] = v
+    p, s = convert_torchvision_resnet(sub)
+    return ({flax_prefix + k: v for k, v in p.items()},
+            {flax_prefix + k: v for k, v in s.items()})
+
+
+def dense_chw(flat, name, sd, torch_name, c, h, w):
+    """Map a torch Linear whose input is a flattened NCHW feature map onto a
+    flax Dense consuming the flattened NHWC map: permute the input axis
+    (c,h,w) → (h,w,c)."""
+    wt = sd[f"{torch_name}.weight"]  # [out, c*h*w]
+    out_dim = wt.shape[0]
+    wt = wt.reshape(out_dim, c, h, w).transpose(0, 2, 3, 1).reshape(out_dim, -1)
+    flat[f"{name}/kernel"] = wt.T
+    if f"{torch_name}.bias" in sd:
+        flat[f"{name}/bias"] = sd[f"{torch_name}.bias"]
+
+
+def dense_cwh(flat, name, sd, torch_name, c, wh):
+    """Same for a [B, C, WH]-flattened torch input vs [B, WH, C] flax input."""
+    wt = sd[f"{torch_name}.weight"]  # [out, c*wh]
+    out_dim = wt.shape[0]
+    wt = wt.reshape(out_dim, c, wh).transpose(0, 2, 1).reshape(out_dim, -1)
+    flat[f"{name}/kernel"] = wt.T
+    if f"{torch_name}.bias" in sd:
+        flat[f"{name}/bias"] = sd[f"{torch_name}.bias"]

@@ -1,0 +1,418 @@
+"""Numerical parity vs the mounted torch reference (VERDICT r1 item 1).
+
+Each test builds the reference torch module, transplants its state_dict
+into the Flax model, feeds an identical input, and asserts forward (and for
+key methods backward) agreement. Models are instantiated at f32 so the
+comparison is tight; production bf16 differs only by rounding.
+
+Documented intentional deltas (asserted as such where testable):
+- CIN: the loss-owned linear lives in the model (``pair_head``).
+- DCL: swap law derived exactly from the known permutation.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import hawkeye_tpu.models  # noqa: F401
+
+from refutil import (
+    RefCfg,
+    bn,
+    conv,
+    dense,
+    dense_chw,
+    dense_cwh,
+    load_reference,
+    resnet_backbone_flat,
+    resnet_seq_flat,
+    sd_numpy,
+    to_torch_nchw,
+    transplant,
+    vgg_backbone_flat,
+)
+
+torch = pytest.importorskip("torch")
+
+RTOL, ATOL = 1e-3, 2e-4  # untrained random weights -> huge activations; f32 reassociation noise is ~1e-4 relative
+
+
+def _x(b=2, s=64, seed=0):
+    return np.random.RandomState(seed).rand(b, s, s, 3).astype(np.float32) * 2 - 1
+
+
+def _logits(out):
+    return out["logits"] if isinstance(out, dict) else out
+
+
+def ref_model(name, cfg):
+    load_reference()
+    from model.registry import MODEL as REF_MODEL
+
+    return REF_MODEL[name](RefCfg(cfg)).eval()
+
+
+# ---------------------------------------------------------------------------
+# BCNN (model/methods/BCNN.py:8-55)
+# ---------------------------------------------------------------------------
+def test_bcnn_forward_backward_parity():
+    rmodel = ref_model("BCNN", {"num_classes": 7, "stage": 2})
+    sd = sd_numpy(rmodel)
+
+    from hawkeye_tpu.models.methods.bcnn import BCNN
+
+    fmodel = BCNN(num_classes=7, stage=2, dtype=jnp.float32)
+    x = _x()
+    variables = fmodel.init(jax.random.PRNGKey(0), jnp.asarray(x))
+
+    flat_p, flat_s = vgg_backbone_flat(sd)
+    dense(flat_p, "fc", sd, "classifier")
+    variables = transplant(variables, flat_p, flat_s)
+
+    with torch.no_grad():
+        ref_logits = rmodel(to_torch_nchw(x)).numpy()
+    out = fmodel.apply(variables, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(out["logits"]), ref_logits,
+                               rtol=RTOL, atol=ATOL)
+
+    # backward: d CE / d classifier weight must agree
+    labels = np.array([1, 3])
+    xt = to_torch_nchw(x)
+    logits_t = rmodel(xt)
+    loss_t = torch.nn.functional.cross_entropy(
+        logits_t, torch.from_numpy(labels))
+    loss_t.backward()
+    g_ref = rmodel.classifier.weight.grad.numpy()
+
+    def loss_fn(params):
+        o = fmodel.apply({**variables, "params": params}, jnp.asarray(x),
+                         train=False)
+        logp = jax.nn.log_softmax(o["logits"])
+        return -logp[jnp.arange(2), jnp.asarray(labels)].mean()
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    np.testing.assert_allclose(np.asarray(grads["fc"]["kernel"]).T, g_ref,
+                               rtol=1e-3, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Baseline ResNet50 (model/backbone/resnet.py:403-412)
+# ---------------------------------------------------------------------------
+def test_baseline_resnet50_forward_parity():
+    rmodel = ref_model("ResNet50", {"num_classes": 5})
+    sd = sd_numpy(rmodel)
+
+    from hawkeye_tpu.registry import BACKBONE
+
+    fmodel = BACKBONE.get("resnet50")(num_classes=5, dtype=jnp.float32)
+    x = _x()
+    variables = fmodel.init(jax.random.PRNGKey(0), jnp.asarray(x))
+
+    from hawkeye_tpu.models.weights import convert_torchvision_resnet
+
+    flat_p, flat_s = convert_torchvision_resnet(sd)
+    variables = transplant(variables, flat_p, flat_s)
+
+    with torch.no_grad():
+        ref_logits = rmodel(to_torch_nchw(x)).numpy()
+    out = fmodel.apply(variables, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(_logits(out)), ref_logits,
+                               rtol=RTOL, atol=ATOL)
+
+
+# ---------------------------------------------------------------------------
+# CBCNN (model/methods/CBCNN.py:12-164): identical count-sketch seeds 1/3/5/7
+# ---------------------------------------------------------------------------
+def test_cbcnn_forward_parity():
+    rmodel = ref_model("CBCNN", {"num_classes": 6, "stage": 2,
+                                 "input_channel": 512, "output_channel": 512})
+    sd = sd_numpy(rmodel)
+
+    from hawkeye_tpu.models.methods.cbcnn import CBCNN
+
+    fmodel = CBCNN(num_classes=6, stage=2, input_channel=512,
+                   output_channel=512, dtype=jnp.float32)
+    x = _x()
+    variables = fmodel.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    flat_p, flat_s = vgg_backbone_flat(sd)
+    dense(flat_p, "fc", sd, "classifier")
+    variables = transplant(variables, flat_p, flat_s)
+
+    # the sketch matrices themselves must match (fixed seeds, not params)
+    ref_sketch1 = rmodel.bilinear_pooling.sparse_sketch_matrix1
+    if ref_sketch1.is_sparse:
+        ref_sketch1 = ref_sketch1.to_dense()
+    np.testing.assert_array_equal(
+        np.asarray(fmodel.bind(variables).sketch1), ref_sketch1.numpy())
+
+    with torch.no_grad():
+        ref_logits = rmodel(to_torch_nchw(x)).numpy()
+    out = fmodel.apply(variables, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(out["logits"]), ref_logits,
+                               rtol=1e-3, atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# MPN / fast MPN-COV (model/methods/MPNCOV.py:23-230): Covpool→Sqrtm→Triuvec,
+# the reference's hand-written Newton-Schulz backward vs our autodiff
+# ---------------------------------------------------------------------------
+def test_mpn_forward_backward_parity():
+    rmodel = ref_model("MPN", {"num_classes": 5, "iter_num": 3,
+                               "is_sqrt": True, "is_vec": True,
+                               "input_dim": 2048,
+                               "dimension_reduction": 64})
+    sd = sd_numpy(rmodel)
+
+    from hawkeye_tpu.models.methods.mpn import MPN
+
+    fmodel = MPN(num_classes=5, iter_num=3, dimension_reduction=64,
+                 dtype=jnp.float32)
+    x = _x()
+    variables = fmodel.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    flat_p, flat_s = resnet_seq_flat(sd)
+    conv(flat_p, "dr_conv", sd, "pool.conv_dr_block.0")
+    bn(flat_p, flat_s, "dr_bn", sd, "pool.conv_dr_block.1")
+    dense(flat_p, "fc", sd, "classifier")
+    variables = transplant(variables, flat_p, flat_s)
+
+    with torch.no_grad():
+        ref_logits = rmodel(to_torch_nchw(x)).numpy()
+    out = fmodel.apply(variables, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(out["logits"]), ref_logits,
+                               rtol=1e-3, atol=1e-3)
+
+    # backward THROUGH the Newton-Schulz iteration: grad wrt the DR conv
+    labels = np.array([0, 2])
+    rmodel.zero_grad()
+    loss_t = torch.nn.functional.cross_entropy(
+        rmodel(to_torch_nchw(x)), torch.from_numpy(labels))
+    loss_t.backward()
+    g_ref = rmodel.pool.conv_dr_block[0].weight.grad.numpy()  # [O,I,1,1]
+
+    def loss_fn(params):
+        o = fmodel.apply({**variables, "params": params}, jnp.asarray(x),
+                         train=False)
+        logp = jax.nn.log_softmax(o["logits"])
+        return -logp[jnp.arange(2), jnp.asarray(labels)].mean()
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    g_mine = np.transpose(np.asarray(grads["dr_conv"]["kernel"]),
+                          (3, 2, 0, 1))  # HWIO -> OIHW
+    np.testing.assert_allclose(g_mine, g_ref, rtol=2e-2, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# OSMENet (model/methods/OSME.py:8-64)
+# ---------------------------------------------------------------------------
+def test_osme_forward_parity():
+    load_reference()
+    import model.methods.OSME as rosme
+    import torch.nn as tnn
+
+    rmodel = ref_model("OSMENet", {"num_classes": 5, "num_attention": 2})
+    # the reference hardcodes feature_shape=7 (224 input); shrink its OSME
+    # head so the whole comparison runs at 64x64 (c5 = 2x2)
+    rmodel.osme = rosme.OSME(2048, 32, feature_shape=2, num_attention=2)
+    rmodel.classifier = tnn.Linear(32, 5)
+    rmodel = rmodel.eval()
+    sd = sd_numpy(rmodel)
+
+    from hawkeye_tpu.models.methods.osme import OSMENet
+
+    fmodel = OSMENet(num_classes=5, num_attention=2, part_dim=32,
+                     dtype=jnp.float32)
+    x = _x()
+    variables = fmodel.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    flat_p, flat_s = resnet_seq_flat(sd)
+    for p in range(2):
+        dense(flat_p, f"osme_{p}/fc1", sd, f"osme.blocks.{p}.block.0")
+        dense(flat_p, f"osme_{p}/fc2", sd, f"osme.blocks.{p}.block.2")
+        dense_chw(flat_p, f"part_fc_{p}", sd, f"osme.fcs.{p}", 2048, 2, 2)
+    dense(flat_p, "fc", sd, "classifier")
+    variables = transplant(variables, flat_p, flat_s)
+
+    with torch.no_grad():
+        ref_logits, ref_parts = rmodel(to_torch_nchw(x))
+    out = fmodel.apply(variables, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(out["logits"]), ref_logits.numpy(),
+                               rtol=1e-3, atol=ATOL)
+    np.testing.assert_allclose(np.asarray(out["parts"]), ref_parts.numpy(),
+                               rtol=1e-3, atol=ATOL)
+
+
+# ---------------------------------------------------------------------------
+# APINet (model/methods/APINet.py:10-119): val logits + train pair forward
+# (pair mining, gates, 4 logit sets) in eval() mode so dropout is identity
+# ---------------------------------------------------------------------------
+def test_apinet_forward_parity():
+    # the reference train forward hardcodes 200 classes (APINet.py:64-65)
+    rmodel = ref_model("APINet", {"num_classes": 200})
+    sd = sd_numpy(rmodel)
+
+    from hawkeye_tpu.models.methods.apinet import APINet
+
+    fmodel = APINet(num_classes=200, dtype=jnp.float32)
+    x = _x(b=4, s=224, seed=3)
+    labels = np.array([0, 0, 1, 1])
+    variables = fmodel.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.asarray(x), train=True, labels=jnp.asarray(labels))
+    flat_p, flat_s = resnet_seq_flat(sd)
+    dense(flat_p, "map1", sd, "map1")
+    dense(flat_p, "map2", sd, "map2")
+    dense(flat_p, "fc", sd, "fc")
+    variables = transplant(variables, flat_p, flat_s)
+
+    with torch.no_grad():
+        ref_val = rmodel(to_torch_nchw(x), flag="val").numpy()
+    out = fmodel.apply(variables, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(out["logits"]), ref_val,
+                               rtol=RTOL, atol=2e-3)
+
+    # train-path comparison with dropout disabled on BOTH sides but
+    # batch-stats BN on both sides: torch lets us eval() just the dropout
+    rmodel.train()
+    rmodel.drop.eval()
+    with torch.no_grad():
+        r_self, r_other, r_l1, r_l2 = rmodel(
+            to_torch_nchw(x), torch.from_numpy(labels), flag="train")
+    nd = APINet(num_classes=200, dropout_rate=0.0, dtype=jnp.float32)
+    out_nd, _ = nd.apply(variables, jnp.asarray(x), train=True,
+                         labels=jnp.asarray(labels), mutable=["batch_stats"],
+                         rngs={"dropout": jax.random.PRNGKey(0)})
+    np.testing.assert_array_equal(np.asarray(out_nd["pair_labels"]),
+                                  np.concatenate([r_l1.numpy(), r_l2.numpy()]))
+    np.testing.assert_allclose(np.asarray(out_nd["self_logits"]),
+                               r_self.numpy(), rtol=RTOL, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out_nd["other_logits"]),
+                               r_other.numpy(), rtol=RTOL, atol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# DCL (model/methods/DCL.py:8-46): class logits + swap logits + tanh mask
+# ---------------------------------------------------------------------------
+def test_dcl_forward_parity():
+    rmodel = ref_model("DCL", {"num_classes": 6, "cls_2": True,
+                               "cls_2xmul": False})
+    sd = sd_numpy(rmodel)
+
+    from hawkeye_tpu.models.methods.dcl import DCL as FDCL
+
+    fmodel = FDCL(num_classes=6, cls_2=True, dtype=jnp.float32)
+    x = _x()
+    variables = fmodel.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    flat_p, flat_s = resnet_seq_flat(sd)
+    conv(flat_p, "convmask", sd, "Convmask")
+    dense(flat_p, "classifier", sd, "classifier")
+    dense(flat_p, "classifier_swap", sd, "classifier_swap")
+    variables = transplant(variables, flat_p, flat_s)
+
+    with torch.no_grad():
+        r_logits, r_swap, r_mask = rmodel(to_torch_nchw(x))
+    out = fmodel.apply(variables, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(out["logits"]), r_logits.numpy(),
+                               rtol=RTOL, atol=ATOL)
+    np.testing.assert_allclose(np.asarray(out["swap_logits"]), r_swap.numpy(),
+                               rtol=RTOL, atol=ATOL)
+    np.testing.assert_allclose(np.asarray(out["mask"]), r_mask.numpy(),
+                               rtol=RTOL, atol=ATOL)
+
+
+# ---------------------------------------------------------------------------
+# CIN (model/methods/CIN.py:10-102): eval logits; train-path SCI/CCI tensors
+# Documented delta: the criterion's Linear `h` (CIN_loss.py:23) lives in the
+# model as `pair_head`; we verify pair_embed == h(Z_CCI) by transplanting h.
+# ---------------------------------------------------------------------------
+def test_cin_forward_parity():
+    rmodel = ref_model("CIN", {"num_classes": 5})
+    sd = sd_numpy(rmodel)
+
+    from hawkeye_tpu.models.methods.cin import CIN as FCIN
+
+    fmodel = FCIN(num_classes=5, r_channel=16, dtype=jnp.float32)
+    x = _x(b=4, s=224, seed=5)
+    variables = fmodel.init(jax.random.PRNGKey(0), jnp.asarray(x), train=True)
+    flat_p, flat_s = resnet_seq_flat(sd)
+    conv(flat_p, "conv", sd, "ChannelInteraction.conv")
+    # gate fc input is cat(y_self, y_partner): permute each (c,7,7) half to
+    # (7,7,c) independently (the two halves are separate blocks)
+    gw = sd["ChannelInteraction.fc.weight"]  # [1, 2*2048*49]
+    halves = []
+    for i in range(2):
+        hw_block = gw[:, i * 2048 * 49:(i + 1) * 2048 * 49]
+        halves.append(hw_block.reshape(1, 2048, 7, 7)
+                      .transpose(0, 2, 3, 1).reshape(1, -1))
+    flat_p["gate_fc/kernel"] = np.concatenate(halves, axis=1).T
+    flat_p["gate_fc/bias"] = sd["ChannelInteraction.fc.bias"]
+    dense(flat_p, "classifier", sd, "classifier.classifier")
+    # the criterion-owned `h` (documented delta) -> model pair_head
+    load_reference()
+    from model.loss.CIN_loss import CINLoss as RefCINLoss
+
+    rloss = RefCINLoss(RefCfg({"r_channel": 16}))
+    hsd = sd_numpy(rloss)
+    dense_cwh(flat_p, "pair_head", hsd, "h", 2048, 49)
+    variables = transplant(variables, flat_p, flat_s)
+
+    with torch.no_grad():
+        ref_logits = rmodel(to_torch_nchw(x)).numpy()
+    out = fmodel.apply(variables, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(out["logits"]), ref_logits,
+                               rtol=RTOL, atol=2e-3)
+
+    # train path: SCI logits + CCI pair embeddings (batch-stats BN both sides)
+    rmodel.train()
+    with torch.no_grad():
+        r_z, r_zcci = rmodel(to_torch_nchw(x))
+        r_embed = rloss.h(r_zcci.reshape(4, -1)).numpy()
+    out_t, _ = fmodel.apply(variables, jnp.asarray(x), train=True,
+                            mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(out_t["logits"]), r_z.numpy(),
+                               rtol=RTOL, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out_t["pair_embed"]), r_embed,
+                               rtol=RTOL, atol=2e-2)
+
+
+# ---------------------------------------------------------------------------
+# CrossX (model/methods/CrossX.py:47-270): MELayer excitations at layer3/4,
+# nearest-upsample fusion, three heads. 448 input (the reference hardcodes
+# interpolate-to-28, i.e. layer3 resolution at 448).
+# ---------------------------------------------------------------------------
+def test_crossx_forward_parity():
+    rmodel = ref_model("CrossX", {"num_classes": 5, "num_parts": 2,
+                                  "pretrained": False})
+    sd = sd_numpy(rmodel)
+
+    from hawkeye_tpu.models.methods.crossx import CrossXNet
+    from hawkeye_tpu.models.weights import convert_torchvision_resnet
+
+    fmodel = CrossXNet(num_classes=5, num_parts=2, dtype=jnp.float32)
+    x = _x(b=2, s=448, seed=7)
+    variables = fmodel.init(jax.random.PRNGKey(0), jnp.asarray(x))
+
+    flat_p, flat_s = convert_torchvision_resnet(sd)  # trunk convs/bns
+    for li, bi in ((3, 5), (4, 2)):  # ME blocks' excitation MLPs
+        for p in range(2):
+            dense(flat_p, f"layer{li}_{bi}/me/fc1_{p}", sd,
+                  f"layer{li}.{bi}.me.parts.{p}.0")
+            dense(flat_p, f"layer{li}_{bi}/me/fc2_{p}", sd,
+                  f"layer{li}.{bi}.me.parts.{p}.2")
+    for p in range(2):
+        conv(flat_p, f"conv2_{p}", sd, f"conv2_{p + 1}")
+        conv(flat_p, f"conv3_{p}", sd, f"conv3_{p + 1}")
+        bn(flat_p, flat_s, f"bn3_{p}", sd, f"bn3_{p + 1}")
+    for head in ("fc_ulti", "fc_plty", "fc_cmbn"):
+        dense(flat_p, head, sd, head)
+    variables = transplant(variables, flat_p, flat_s)
+
+    with torch.no_grad():
+        xf, xp, xc, *_ = rmodel(to_torch_nchw(x))
+    out = fmodel.apply(variables, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(out["logits_ulti"]), xf.numpy(),
+                               rtol=RTOL, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out["logits_plty"]), xp.numpy(),
+                               rtol=RTOL, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out["logits_cmbn"]), xc.numpy(),
+                               rtol=RTOL, atol=2e-3)
