@@ -40,7 +40,9 @@ def cam_bbox(images, conv5, weights, rate, img_size):
     classifier rows). Returns cropped+resized images [B, S, S, 3].
     """
     cam = jnp.einsum("bhwc,bc->bhw", jax.lax.stop_gradient(conv5), weights)
-    cam = resize_bilinear(cam[..., None], img_size, img_size)[..., 0]
+    # align_corners=True: reference get_bbox interpolation (MGE.py:54)
+    cam = resize_bilinear(cam[..., None], img_size, img_size,
+                          align_corners=True)[..., 0]
     lo = cam.min(axis=(1, 2), keepdims=True)
     hi = cam.max(axis=(1, 2), keepdims=True)
     cam = (cam - lo) / jnp.maximum(hi - lo, 1e-8)
@@ -65,7 +67,8 @@ def cam_bbox(images, conv5, weights, rate, img_size):
     y2 = jnp.where(bad, float(img_size), y2)
     x2 = jnp.where(bad, float(img_size), x2)
     boxes = jnp.stack([y1, x1, y2 - y1, x2 - x1], axis=1)
-    crops = crop_resize_bilinear(images, boxes, img_size, img_size)
+    crops = crop_resize_bilinear(images, boxes, img_size, img_size,
+                                 align_corners=True)  # MGE.py:69-70
     return jax.lax.stop_gradient(crops)
 
 
@@ -84,8 +87,12 @@ class _Expert(nn.Module):
         pool = stages["pool"]  # [B, 2048] f32
         logits = nn.Dense(self.num_classes, name="classifier")(pool)
 
-        part = nn.Conv(10 * self.num_classes, (1, 1), name="conv6")(
-            jax.lax.stop_gradient(stages["c4"]).astype(jnp.float32))
+        # the reference's conv6 is a 1x1 conv with PADDING 1 (MGE.py:106-108):
+        # the padded ring contributes relu(bias) to the max pool — replicate
+        # by zero-padding the input ring
+        c4 = jnp.pad(jax.lax.stop_gradient(stages["c4"]).astype(jnp.float32),
+                     ((0, 0), (1, 1), (1, 1), (0, 0)))
+        part = nn.Conv(10 * self.num_classes, (1, 1), name="conv6")(c4)
         pool_part = nn.relu(part).max(axis=(1, 2))  # [B, 10C]
         logits_max = nn.Dense(self.num_classes, name="cls_part")(pool_part)
         cat = jnp.concatenate([

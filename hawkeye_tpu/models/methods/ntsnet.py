@@ -110,7 +110,10 @@ class NTSNet(nn.Module):
         self.partcls_net = nn.Dense(self.num_classes, dtype=jnp.float32,
                                     name="partcls_net")
         self.drop = nn.Dropout(0.5)
-        edge = generate_anchors(self.image_size) + self.pad_side  # padded coords
+        # integer padded coords, matching the reference's
+        # ``(edge_anchors + 224).astype(np.int)`` (NTSNet.py:27)
+        edge = np.trunc(generate_anchors(self.image_size) +
+                        self.pad_side).astype(np.float32)
         self._edge_anchors = jnp.asarray(edge)
         self._adjacency = jnp.asarray(anchor_adjacency(edge, self.iou_thresh))
 
@@ -133,8 +136,11 @@ class NTSNet(nn.Module):
         ], axis=-1)
         pad = self.pad_side
         x_pad = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+        # align_corners=True matches the reference part resize
+        # (F.interpolate(..., align_corners=True), NTSNet.py:47-48)
         parts = crop_resize_multibox(x_pad, byxhw, self.part_size,
-                                     self.part_size)  # [B, M, s, s, 3]
+                                     self.part_size,
+                                     align_corners=True)  # [B, M, s, s, 3]
         parts = jax.lax.stop_gradient(parts)
         b, m = parts.shape[:2]
         part_stages = self.backbone(

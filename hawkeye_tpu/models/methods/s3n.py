@@ -137,7 +137,9 @@ class S3N(nn.Module):
         gx = jnp.clip(gx * 2.0 - 1.0, -1.0, 1.0)
         gy = jnp.clip(gy * 2.0 - 1.0, -1.0, 1.0)
         grid = jnp.stack([gy, gx], axis=-1)  # [B, G, G, 2] normalized
-        grid = resize_bilinear(grid, self.image_size, self.image_size)
+        # align_corners=True: reference create_grid interpolation (S3N.py:198)
+        grid = resize_bilinear(grid, self.image_size, self.image_size,
+                               align_corners=True)
         # normalized (align_corners=True) → pixel coordinates
         s = self.image_size
         return (grid + 1.0) * 0.5 * (s - 1)
@@ -172,7 +174,9 @@ class S3N(nn.Module):
         crm = jnp.einsum("bhwc,ck->bhwk",
                          jax.lax.stop_gradient(feature_raw.astype(jnp.float32)),
                          w) + bias
-        crm = resize_bilinear(crm, self.grid_size, self.grid_size)
+        # align_corners=True: reference CRM interpolation (S3N.py:301-302)
+        crm = resize_bilinear(crm, self.grid_size, self.grid_size,
+                              align_corners=True)
         score_map = self._decide_map(crm)  # [B, G, G] in [0,1]
 
         mask = peak_mask(score_map[:, None], 3)[:, 0]  # [B, G, G]

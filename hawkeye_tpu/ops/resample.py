@@ -24,7 +24,8 @@ import jax
 import jax.numpy as jnp
 
 
-def _bilinear_weights(starts, sizes, in_size: int, out_size: int, dtype):
+def _bilinear_weights(starts, sizes, in_size: int, out_size: int, dtype,
+                      align_corners=False):
     """Per-image 1-D bilinear interpolation matrices.
 
     Args:
@@ -32,17 +33,25 @@ def _bilinear_weights(starts, sizes, in_size: int, out_size: int, dtype):
       sizes:  [B] crop extent in pixels (float).
       in_size: source length H (static).
       out_size: destination length S (static).
+      align_corners: False = torchvision/F.interpolate default half-pixel
+        centers; True = endpoint-aligned (``F.interpolate(...,
+        align_corners=True)``, the NTS-Net part-crop convention,
+        ``NTSNet.py:47-48``).
 
     Returns [B, out_size, in_size] such that ``W @ v`` bilinearly resamples
-    ``v`` from the window [start, start+size) to out_size points, with
-    align_corners=False sample positions and edge clamping.
+    ``v`` from the window [start, start+size) to out_size points with edge
+    clamping.
     """
     starts = starts.astype(jnp.float32)[:, None]
     sizes = sizes.astype(jnp.float32)[:, None]
     # source coordinate of each output sample center
     j = jnp.arange(out_size, dtype=jnp.float32)[None, :]
-    scale = sizes / float(out_size)
-    src = starts + (j + 0.5) * scale - 0.5  # [B, S]
+    if align_corners:
+        scale = (sizes - 1.0) / float(max(out_size - 1, 1))
+        src = starts + j * scale  # [B, S]
+    else:
+        scale = sizes / float(out_size)
+        src = starts + (j + 0.5) * scale - 0.5  # [B, S]
     src = jnp.clip(src, 0.0, float(in_size - 1))
     i0 = jnp.floor(src)
     frac = src - i0  # [B, S]
@@ -58,7 +67,8 @@ def _bilinear_weights(starts, sizes, in_size: int, out_size: int, dtype):
     return w.astype(dtype)
 
 
-def crop_resize_bilinear(images, boxes, out_h: int, out_w: int, dtype=None):
+def crop_resize_bilinear(images, boxes, out_h: int, out_w: int, dtype=None,
+                         align_corners=False):
     """Crop per-image boxes and resize to (out_h, out_w), fully batched.
 
     Args:
@@ -73,8 +83,10 @@ def crop_resize_bilinear(images, boxes, out_h: int, out_w: int, dtype=None):
     if dtype is None:
         dtype = images.dtype if jnp.issubdtype(images.dtype, jnp.floating) else jnp.float32
     imgs = images.astype(dtype)
-    wy = _bilinear_weights(boxes[:, 0], boxes[:, 2], h, out_h, dtype)  # [B, oh, H]
-    wx = _bilinear_weights(boxes[:, 1], boxes[:, 3], w, out_w, dtype)  # [B, ow, W]
+    wy = _bilinear_weights(boxes[:, 0], boxes[:, 2], h, out_h, dtype,
+                           align_corners=align_corners)  # [B, oh, H]
+    wx = _bilinear_weights(boxes[:, 1], boxes[:, 3], w, out_w, dtype,
+                           align_corners=align_corners)  # [B, ow, W]
     # (Wy @ img): [B, oh, H] x [B, H, W*C] -> [B, oh, W*C]
     tmp = jax.lax.dot_general(
         wy, imgs.reshape(b, h, w * c),
@@ -88,7 +100,8 @@ def crop_resize_bilinear(images, boxes, out_h: int, out_w: int, dtype=None):
     return out
 
 
-def crop_resize_multibox(images, boxes, out_h: int, out_w: int, dtype=None):
+def crop_resize_multibox(images, boxes, out_h: int, out_w: int, dtype=None,
+                         align_corners=False):
     """Crop M boxes per image without replicating the image M times.
 
     images: [B, H, W, C]; boxes: [B, M, 4] (y0, x0, h, w) in pixels.
@@ -103,9 +116,11 @@ def crop_resize_multibox(images, boxes, out_h: int, out_w: int, dtype=None):
         dtype = images.dtype if jnp.issubdtype(images.dtype, jnp.floating) else jnp.float32
     imgs = images.astype(dtype)
     flat = boxes.reshape(b * m, 4)
-    wy = _bilinear_weights(flat[:, 0], flat[:, 2], h, out_h, dtype).reshape(
+    wy = _bilinear_weights(flat[:, 0], flat[:, 2], h, out_h, dtype,
+                           align_corners=align_corners).reshape(
         b, m, out_h, h)
-    wx = _bilinear_weights(flat[:, 1], flat[:, 3], w, out_w, dtype).reshape(
+    wx = _bilinear_weights(flat[:, 1], flat[:, 3], w, out_w, dtype,
+                           align_corners=align_corners).reshape(
         b, m, out_w, w)
     tmp = jnp.einsum("bmoh,bhwc->bmowc", wy, imgs,
                      preferred_element_type=jnp.float32).astype(dtype)
@@ -114,13 +129,15 @@ def crop_resize_multibox(images, boxes, out_h: int, out_w: int, dtype=None):
     return out
 
 
-def resize_bilinear(images, out_h: int, out_w: int, dtype=None):
+def resize_bilinear(images, out_h: int, out_w: int, dtype=None,
+                    align_corners=False):
     """Plain full-image resize (shared weight matrices across the batch)."""
     b, h, w, _ = images.shape
     boxes = jnp.broadcast_to(
         jnp.array([[0.0, 0.0, float(h), float(w)]], jnp.float32), (b, 4)
     )
-    return crop_resize_bilinear(images, boxes, out_h, out_w, dtype=dtype)
+    return crop_resize_bilinear(images, boxes, out_h, out_w, dtype=dtype,
+                                align_corners=align_corners)
 
 
 def grid_sample_bilinear(images, grid):

@@ -34,6 +34,15 @@ class RefCfg(dict):
             raise AttributeError(k) from None
         return RefCfg(v) if isinstance(v, dict) else v
 
+    def __setattr__(self, k, v):  # ProtoTree.init_args assigns defaults
+        self[k] = v
+
+    def defrost(self):  # yacs API used by ProtoTree.init_args
+        pass
+
+    def freeze(self):
+        pass
+
 
 def load_reference():
     """Import and return the reference ``model`` package (idempotent)."""
@@ -41,6 +50,12 @@ def load_reference():
         return _loaded["model"]
     if REF_ROOT not in sys.path:
         sys.path.insert(0, REF_ROOT)
+
+    # the reference predates numpy 1.24's alias removal (np.int in
+    # NTSNet.py:27,46); restore the aliases for this process
+    for alias, typ in (("int", int), ("float", float), ("bool", bool)):
+        if not hasattr(np, alias):
+            setattr(np, alias, typ)
 
     if "yacs" not in sys.modules:
         yacs = types.ModuleType("yacs")
@@ -52,6 +67,13 @@ def load_reference():
     if "torchvision" not in sys.modules:
         tv = types.ModuleType("torchvision")
         tvm = types.ModuleType("torchvision.models")
+
+        class _EmptySD:  # Interp_Parts loads tv weights with strict=False
+            def state_dict(self):
+                return {}
+
+        tvm.resnet50 = lambda *a, **k: _EmptySD()
+        tvm.resnet101 = lambda *a, **k: _EmptySD()
         tv.models = tvm
         sys.modules["torchvision"] = tv
         sys.modules["torchvision.models"] = tvm
@@ -71,6 +93,22 @@ def load_reference():
     rvgg.load_state_dict_from_url = _fake_vgg_fetch
     # resnet uses the reference's shape-checked partial load -> {} is a no-op
     rresnet.load_state_dict_from_url = lambda url, progress=True, **kw: {}
+
+    # NTS-Net's private resnet strict-loads model_zoo.load_url; serve a
+    # freshly initialized state dict of the requested arch instead
+    import torch.utils.model_zoo as model_zoo
+
+    import model.methods.NTS_Net.resnet as nts_resnet
+
+    def _fake_zoo(url, *a, **k):
+        arch = url.split("/")[-1].split("-")[0]
+        return getattr(nts_resnet, arch)(pretrained=False).state_dict()
+
+    model_zoo.load_url = _fake_zoo
+
+    import model.methods.APCNN as rapcnn
+
+    rapcnn.load_state_dict_from_url = lambda url, progress=True, **kw: {}
 
     import model
 
@@ -193,3 +231,24 @@ def dense_cwh(flat, name, sd, torch_name, c, wh):
     flat[f"{name}/kernel"] = wt.T
     if f"{torch_name}.bias" in sd:
         flat[f"{name}/bias"] = sd[f"{torch_name}.bias"]
+
+
+def mge_expert_flat(sd, conv4_prefix, conv5_prefix, flax_prefix):
+    """MGE splits resnet50 into conv4 = children[:-3] (conv1,bn1,...,layer3)
+    and conv5 = layer4's blocks (MGE.py:91-92); remap both to torchvision
+    names and convert."""
+    from hawkeye_tpu.models.weights import convert_torchvision_resnet
+
+    names4 = {"0": "conv1", "1": "bn1", "4": "layer1", "5": "layer2",
+              "6": "layer3"}
+    sub = {}
+    for k, v in sd.items():
+        if k.startswith(conv4_prefix):
+            rest = k[len(conv4_prefix):]
+            idx, _, tail = rest.partition(".")
+            sub[f"{names4[idx]}.{tail}"] = v
+        elif k.startswith(conv5_prefix):
+            sub[f"layer4.{k[len(conv5_prefix):]}"] = v
+    p, s = convert_torchvision_resnet(sub)
+    return ({flax_prefix + k: v for k, v in p.items()},
+            {flax_prefix + k: v for k, v in s.items()})
