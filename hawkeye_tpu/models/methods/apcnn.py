@@ -210,10 +210,12 @@ class APCNN(nn.Module):
         b, h, w, c = c3.shape
         scale = self.image_size / h  # 8
         boxes = jnp.concatenate(rois, axis=1) / scale  # [B, 9, 4] feat coords
-        y0 = boxes[..., 0].min(axis=1)
-        x0 = boxes[..., 1].min(axis=1)
-        y1 = boxes[..., 2].max(axis=1)
-        x1 = boxes[..., 3].max(axis=1)
+        # the reference truncates to ints when slicing (.long(),
+        # get_roi_crop_feat APCNN.py:487-527)
+        y0 = jnp.floor(boxes[..., 0].min(axis=1))
+        x0 = jnp.floor(boxes[..., 1].min(axis=1))
+        y1 = jnp.floor(boxes[..., 2].max(axis=1))
+        x1 = jnp.floor(boxes[..., 3].max(axis=1))
 
         x_in = c3
         if train:

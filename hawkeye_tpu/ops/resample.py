@@ -52,7 +52,12 @@ def _bilinear_weights(starts, sizes, in_size: int, out_size: int, dtype,
     else:
         scale = sizes / float(out_size)
         src = starts + (j + 0.5) * scale - 0.5  # [B, S]
-    src = jnp.clip(src, 0.0, float(in_size - 1))
+    # clamp samples to the crop WINDOW (torch interpolates the cropped
+    # tensor, so border samples clamp to the window edge, never to pixels
+    # outside the crop), intersected with the image bounds
+    lo = jnp.clip(starts, 0.0, float(in_size - 1))
+    hi = jnp.clip(starts + sizes - 1.0, 0.0, float(in_size - 1))
+    src = jnp.clip(src, lo, hi)
     i0 = jnp.floor(src)
     frac = src - i0  # [B, S]
     # hat weights against every source index: w[b, s, i]

@@ -106,9 +106,12 @@ def load_reference():
 
     model_zoo.load_url = _fake_zoo
 
-    import model.methods.APCNN as rapcnn
+    import model.methods.APCNN  # noqa: F401 — ensure it's in sys.modules
 
-    rapcnn.load_state_dict_from_url = lambda url, progress=True, **kw: {}
+    # `model.methods.APCNN` the ATTRIBUTE is rebound to the builder function
+    # by methods/__init__; patch the module object itself
+    sys.modules["model.methods.APCNN"].load_state_dict_from_url = (
+        lambda url, progress=True, **kw: {})
 
     import model
 

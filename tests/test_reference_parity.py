@@ -762,3 +762,127 @@ def old_params_for(leaf, rtree, old_params, height):
 
     walk(rtree.root, 0, 2**height)
     return old_params[holder["slot"]]
+
+
+# ---------------------------------------------------------------------------
+# APCNN (model/methods/APCNN.py): FPN + attention pyramid + per-level anchor
+# NMS ROIs + union-crop zoom + second stage, 8 logit sets (eval: no
+# dropblock). SpatialGate is a stride-1 ConvTranspose2d == Conv2d with the
+# kernel spatially flipped and in/out swapped.
+# ---------------------------------------------------------------------------
+def test_apcnn_forward_parity():
+    rmodel = ref_model("APCNN", {"num_classes": 5})
+    # untrained FPN magnitudes saturate the spatial-attention sigmoid to a
+    # constant 1.0, which empties the reference's above-mean anchor filter
+    # (get_att_roi) — scale the gate convs down so the attention varies
+    with torch.no_grad():
+        for gate in (rmodel.apn.A3_1, rmodel.apn.A4_1, rmodel.apn.A5_1):
+            gate.conv.weight.mul_(0.02)
+            gate.conv.bias.zero_()
+    sd = sd_numpy(rmodel)
+
+    from hawkeye_tpu.models.methods.apcnn import APCNN as FAPCNN
+    from hawkeye_tpu.models.weights import convert_torchvision_resnet
+
+    fmodel = FAPCNN(num_classes=5, image_size=224, dtype=jnp.float32)
+    x = _x(b=2, s=224, seed=29)
+    variables = fmodel.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.asarray(x))
+
+    tp, ts = convert_torchvision_resnet(sd)
+    # our trunk blocks live under layerX_Y/block/
+    flat_p = {}
+    flat_s = {}
+    for src, dst in ((tp, flat_p), (ts, flat_s)):
+        for k, v in src.items():
+            if k.startswith("layer"):
+                head, _, tail = k.partition("/")
+                dst[f"{head}/block/{tail}"] = v
+            elif k.startswith(("conv1/", "bn1/")):
+                dst[k] = v
+
+    conv(flat_p, "p5_master/conv", sd, "fpn.P5_1.conv_master.conv")
+    bn(flat_p, flat_s, "p5_master/bn", sd, "fpn.P5_1.conv_master.bn")
+    conv(flat_p, "p5_gpb/conv", sd, "fpn.P5_1.conv_gpb.conv")
+    bn(flat_p, flat_s, "p5_gpb/bn", sd, "fpn.P5_1.conv_gpb.bn")
+    conv(flat_p, "p5_2", sd, "fpn.P5_2")
+    conv(flat_p, "p4_1", sd, "fpn.P4_1")
+    conv(flat_p, "p4_2", sd, "fpn.P4_2")
+    conv(flat_p, "p3_1", sd, "fpn.P3_1")
+    conv(flat_p, "p3_2", sd, "fpn.P3_2")
+
+    for i, lv in enumerate((3, 4, 5)):
+        # ConvTranspose2d [in, out, kh, kw] -> Conv [out, in, kh, kw] flipped
+        wt = sd[f"apn.A{lv}_1.conv.weight"]
+        weq = np.transpose(wt, (1, 0, 2, 3))[:, :, ::-1, ::-1]
+        flat_p[f"a{lv}_spatial/kernel"] = np.transpose(weq, (2, 3, 1, 0)).copy()
+        flat_p[f"a{lv}_spatial/bias"] = sd[f"apn.A{lv}_1.conv.bias"]
+        conv(flat_p, f"a{lv}_ch1", sd, f"apn.A{lv}_2.conv1")
+        conv(flat_p, f"a{lv}_ch2", sd, f"apn.A{lv}_2.conv2")
+
+    for head in ("cls3", "cls4", "cls5"):
+        bn(flat_p, flat_s, f"{head}/bn1", sd, f"{head}.2")
+        dense(flat_p, f"{head}/fc1", sd, f"{head}.3")
+        bn(flat_p, flat_s, f"{head}/bn2", sd, f"{head}.4")
+        dense(flat_p, f"{head}/fc2", sd, f"{head}.6")
+    bn(flat_p, flat_s, "cls_concate/bn1", sd, "cls_concate.1")
+    dense(flat_p, "cls_concate/fc1", sd, "cls_concate.2")
+    bn(flat_p, flat_s, "cls_concate/bn2", sd, "cls_concate.3")
+    dense(flat_p, "cls_concate/fc2", sd, "cls_concate.5")
+    variables = transplant(variables, flat_p, flat_s)
+
+    with torch.no_grad():
+        r_mean, r_list, _, r_rois = rmodel(to_torch_nchw(x), None)
+    out = fmodel.apply(variables, jnp.asarray(x), train=False)
+
+    mine_all = np.asarray(out["all_logits"])
+    for i, r_l in enumerate(r_list):
+        np.testing.assert_allclose(mine_all[i], r_l.numpy(), rtol=RTOL,
+                                   atol=5e-3, err_msg=f"logit set {i}")
+    np.testing.assert_allclose(np.asarray(out["logits"]), r_mean.numpy(),
+                               rtol=RTOL, atol=5e-3)
+
+
+# ---------------------------------------------------------------------------
+# PeerLearningNet (model/methods/PeerLearningNet.py:9-20): two independent
+# peers of the base model (BCNN in the configs), both outputs compared
+# ---------------------------------------------------------------------------
+def test_peer_learning_forward_parity():
+    rmodel = ref_model("PeerLearningNet", {
+        "base_model": {"name": "BCNN", "num_classes": 5, "stage": 2}})
+    sd = sd_numpy(rmodel)
+
+    from hawkeye_tpu.models.methods.peer_learning import PeerLearningNet
+
+    # the builder path doesn't expose dtype; subclass so both peers run f32
+    from hawkeye_tpu.models.methods.bcnn import BCNN
+
+    class PLf32(PeerLearningNet):
+        def setup(self):
+            self.base_model = BCNN(num_classes=5, stage=2, dtype=jnp.float32,
+                                   name="base_model")
+            self.base_model2 = BCNN(num_classes=5, stage=2, dtype=jnp.float32,
+                                    name="base_model2")
+
+    fmodel = PLf32(base_config={})
+    x = _x(b=2, s=64, seed=31)
+    variables = fmodel.init(jax.random.PRNGKey(0), jnp.asarray(x))
+
+    flat_p, flat_s = {}, {}
+    for peer, fp in (("base_model", "base_model"),
+                     ("base_model2", "base_model2")):
+        pp, ps = vgg_backbone_flat(sd, torch_prefix=f"{peer}.backbone.",
+                                   flax_prefix=f"{fp}/backbone/")
+        flat_p.update(pp)
+        flat_s.update(ps)
+        dense(flat_p, f"{fp}/fc", sd, f"{peer}.classifier")
+    variables = transplant(variables, flat_p, flat_s)
+
+    with torch.no_grad():
+        r1, r2 = rmodel(to_torch_nchw(x))
+    out = fmodel.apply(variables, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(out["logits1"]), r1.numpy(),
+                               rtol=RTOL, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out["logits2"]), r2.numpy(),
+                               rtol=RTOL, atol=2e-3)
