@@ -21,7 +21,22 @@ from hawkeye_tpu.engine.optim import make_prefix_labeler
 
 
 class DCLTrainer(Trainer):
+    """With ``dataset.pipeline: device`` the host only decodes 512² uint8 and
+    the whole DCL pipeline (rotate/crop/flip + jigsaw + 2x batch assembly)
+    runs inside the jitted train step (``data/dcl.py::make_dcl_device_augment``)."""
+
+    def _dcl_params(self):
+        mcfg = self.config.model
+        tcfg = self.config.dataset.transformer
+        return {
+            "grid": int(tcfg.get("swap_num", [7, 7])[0]),
+            "cls_2": bool(mcfg.get("cls_2", True)),
+            "num_classes": int(mcfg.num_classes),
+        }
+
     def get_transformers(self, transformer_config):
+        if self.pipeline == "device":
+            return super().get_transformers(transformer_config)
         resize = int(transformer_config.get("resize_size", 512))
         crop = int(transformer_config.get("image_size", 448))
         return {
@@ -30,16 +45,33 @@ class DCLTrainer(Trainer):
         }
 
     def get_collate_fn(self):
-        mcfg = self.config.model
-        tcfg = self.config.dataset.transformer
-        grid = int(tcfg.get("swap_num", [7, 7])[0])
-        cls_2 = bool(mcfg.get("cls_2", True))
+        if self.pipeline == "device":
+            return super().get_collate_fn()
+        p = self._dcl_params()
         return {
-            "train": DCLTrainCollate(grid=grid, cls_2=cls_2,
-                                     num_classes=int(mcfg.num_classes),
+            "train": DCLTrainCollate(grid=p["grid"], cls_2=p["cls_2"],
+                                     num_classes=p["num_classes"],
                                      seed=self.seed),
-            "val": DCLValCollate(grid=grid, cls_2=cls_2),
+            "val": DCLValCollate(grid=p["grid"], cls_2=p["cls_2"]),
         }
+
+    def device_prepare_train(self, rng, batch):
+        from hawkeye_tpu.data.dcl import make_dcl_device_augment
+
+        p = self._dcl_params()
+        size = int(self.config.dataset.transformer.image_size)
+        augment = make_dcl_device_augment(size, rotate=15.0, grid=p["grid"],
+                                          cls_2=p["cls_2"],
+                                          num_classes=p["num_classes"])
+        return augment(rng, batch)
+
+    def device_prepare_eval(self, batch):
+        from hawkeye_tpu.data.dcl import make_dcl_device_eval
+
+        p = self._dcl_params()
+        size = int(self.config.dataset.transformer.image_size)
+        return make_dcl_device_eval(size, grid=p["grid"],
+                                    cls_2=p["cls_2"])(batch)
 
     def get_dataset(self, ds_config):
         datasets = super().get_dataset(ds_config)

@@ -20,6 +20,10 @@ class InterpPartsTrainer(Trainer):
         super().__init__(config)
         self._total_steps = max(
             len(self.dataloaders["train"]) * self.total_epoch, 1)
+        # resume-safe: a resumed run continues the per-batch cosine where it
+        # left off instead of replaying the schedule from the top
+        # (load_checkpoint in super().__init__ sets start_epoch)
+        self._global_step = self.start_epoch * len(self.dataloaders["train"])
 
     def get_param_groups(self):
         return make_prefix_labeler({"backbone": "finetune"},

@@ -27,6 +27,9 @@ class ProtoTreeTrainer(Trainer):
         @partial(jax.jit, donate_argnums=(0,))
         def train_step(state, batch, lr, old_leaf_over_batches, backbone_on):
             rng = jax.random.fold_in(base_key, state.step)
+            if self.pipeline == "device":
+                batch = self.device_prepare_train(
+                    jax.random.fold_in(rng, 1), batch)
 
             def loss_fn(params):
                 loss, outputs, mutated = self.forward_train(params, state,

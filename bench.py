@@ -1,16 +1,19 @@
 #!/usr/bin/env python
-"""North-star benchmark: Baseline ResNet-50 on CUB-200-shaped data at 448².
+"""North-star benchmark: CUB-200-shaped 448² images/sec/chip (train + eval).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line. Headline metric = Baseline ResNet-50 448² TRAIN
+images/sec/chip (fwd+bwd+update, bf16 compute, device-resident augmentation
+included), measured on synthetic CUB-shaped uint8 data (real CUB images are
+not redistributable inside this environment; the compute path is identical).
+Extra keys carry the full matrix BASELINE.json asks for: ResNet-50 eval
+throughput and BCNN train/eval throughput at its best-known batch size.
 
-Metric: steady-state TRAIN images/sec/chip (fwd+bwd+update, bf16 compute,
-device-resident augmentation included), measured on synthetic CUB-shaped
-uint8 data (real CUB images are not redistributable inside this environment;
-the compute path is identical). vs_baseline is relative to 2x a documented
-A100 estimate for ResNet-50 448² mixed-precision training (~600 img/s/GPU →
-baseline 1200), per BASELINE.md's ">=2x A100 images/sec/chip" target.
+vs_baseline is relative to 2x a documented A100 estimate for ResNet-50 448²
+mixed-precision training (~600 img/s/GPU -> baseline 1200), per BASELINE.md's
+">=2x A100 images/sec/chip" target.
 
-Run on the default (TPU) backend. ``--quick`` shortens for smoke tests.
+Run on the default (TPU) backend. ``--quick`` shortens for smoke tests;
+``--model resnet50|bcnn`` restricts to one model (train only, legacy mode).
 """
 
 from __future__ import annotations
@@ -24,63 +27,41 @@ A100_RESNET50_448_TRAIN_IMG_S = 600.0  # documented estimate (see module docstri
 BASELINE_IMG_S = 2.0 * A100_RESNET50_448_TRAIN_IMG_S
 
 
-def main():
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--batch-size", type=int, default=128)
-    parser.add_argument("--image-size", type=int, default=448)
-    parser.add_argument("--steps", type=int, default=30)
-    parser.add_argument("--warmup", type=int, default=5)
-    parser.add_argument("--quick", action="store_true")
-    parser.add_argument("--no-aug", action="store_true",
-                        help="skip device augmentation (ablation)")
-    parser.add_argument("--no-donate", action="store_true")
-    parser.add_argument("--remat", action="store_true",
-                        help="rematerialize the forward in the backward "
-                             "(enables larger batches)")
-    parser.add_argument("--model", choices=["resnet50", "bcnn"],
-                        default="resnet50",
-                        help="headline target: Baseline ResNet-50 or BCNN")
-    args = parser.parse_args()
-    if args.quick:
-        args.steps, args.warmup, args.batch_size = 5, 2, 16
+def build_model(name, stem_s2d):
+    from hawkeye_tpu.config import ConfigNode
+    from hawkeye_tpu.registry import MODEL
 
+    if name == "bcnn":
+        return MODEL.get("BCNN")(ConfigNode({"num_classes": 200, "stage": 2}))
+    return MODEL.get("ResNet50")(ConfigNode(
+        {"num_classes": 200, "stem_space_to_depth": bool(stem_s2d)}))
+
+
+def measure_train(model, B, S, steps, warmup, *, remat=False, no_aug=False,
+                  donate=True):
     import jax
     import jax.numpy as jnp
     import numpy as np
+    import optax
 
-    import hawkeye_tpu.models  # noqa: F401
     from hawkeye_tpu.config import ConfigNode
     from hawkeye_tpu.data.transforms_device import make_train_augment
     from hawkeye_tpu.engine.optim import build_optimizer
-    from hawkeye_tpu.registry import MODEL
 
-    B, S = args.batch_size, args.image_size
     R = S * 8 // 7  # decode size (e.g. 512 for 448)
-
-    if args.model == "bcnn":
-        model = MODEL.get("BCNN")(ConfigNode({"num_classes": 200, "stage": 2}))
-        if args.batch_size == 128:  # default: BCNN needs a smaller batch
-            args.batch_size = 32
-            B = 32
-    else:
-        model = MODEL.get("ResNet50")(ConfigNode({"num_classes": 200}))
     rng = jax.random.PRNGKey(0)
     variables = model.init(rng, jnp.zeros((2, S, S, 3), jnp.float32), train=False)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
+    has_bn = bool(batch_stats)
 
-    opt_cfg = ConfigNode({"name": "SGD", "lr": 0.01, "momentum": 0.9,
-                          "weight_decay": 1e-4})
-    tx, _ = build_optimizer(opt_cfg)
+    tx, _ = build_optimizer(ConfigNode({"name": "SGD", "lr": 0.01,
+                                        "momentum": 0.9, "weight_decay": 1e-4}))
     opt_state = tx.init(params)
 
-    # feed the model bf16 directly: halves aug→model HBM traffic; the model
+    # feed the model bf16 directly: halves aug->model HBM traffic; the model
     # casts to bf16 internally anyway
     augment = make_train_augment(image_size=S, out_dtype=jnp.bfloat16)
-
-    import optax
-
-    has_bn = bool(batch_stats)
 
     def loss_fn(params, batch_stats, x, y):
         variables = {"params": params}
@@ -97,14 +78,14 @@ def main():
             out["logits"], y).mean()
         return loss, new_stats
 
-    if args.remat:
+    if remat:
         loss_fn = jax.checkpoint(loss_fn)
 
-    donate = () if args.no_donate else (0, 1, 2)
+    donate_argnums = (0, 1, 2) if donate else ()
 
-    @partial(jax.jit, donate_argnums=donate)
+    @partial(jax.jit, donate_argnums=donate_argnums)
     def train_step(params, batch_stats, opt_state, key, raw_u8, labels):
-        if args.no_aug:
+        if no_aug:
             x = raw_u8[:, :S, :S, :].astype(jnp.float32) / 255.0
         else:
             x = augment(key, raw_u8)
@@ -119,29 +100,131 @@ def main():
     raw = jax.device_put(host.randint(0, 256, (B, R, R, 3), dtype=np.uint8))
     labels = jax.device_put(host.randint(0, 200, (B,)).astype(np.int32))
 
-    # warmup / compile
     key = jax.random.PRNGKey(1)
-    for i in range(args.warmup):
+    for _ in range(warmup):
         key, k = jax.random.split(key)
         params, batch_stats, opt_state, loss = train_step(
             params, batch_stats, opt_state, k, raw, labels)
     jax.block_until_ready(loss)
 
     t0 = time.perf_counter()
-    for i in range(args.steps):
+    for _ in range(steps):
         key, k = jax.random.split(key)
         params, batch_stats, opt_state, loss = train_step(
             params, batch_stats, opt_state, k, raw, labels)
     jax.block_until_ready(loss)
     dt = time.perf_counter() - t0
+    return B * steps / dt / jax.device_count()
 
-    n_chips = jax.device_count()
-    img_s = B * args.steps / dt / n_chips
+
+def measure_eval(model, B, S, steps, warmup):
+    """Center-crop eval forward, chained so the tunnel runtime can't elide it."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    R = S * 8 // 7
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(rng, jnp.zeros((2, S, S, 3), jnp.float32), train=False)
+    off = (R - S) // 2
+    mean = jnp.asarray([0.485, 0.456, 0.406], jnp.bfloat16)
+    std = jnp.asarray([0.229, 0.224, 0.225], jnp.bfloat16)
+
+    @jax.jit
+    def eval_step(variables, raw_u8, acc):
+        x = raw_u8[:, off:off + S, off:off + S, :].astype(jnp.bfloat16) / 255.0
+        x = (x - mean) / std
+        out = model.apply(variables, x, train=False)
+        # chain: fold predictions into acc so every step's output is consumed
+        return acc + jnp.argmax(out["logits"], axis=-1).sum()
+
+    host = np.random.RandomState(0)
+    raw = jax.device_put(host.randint(0, 256, (B, R, R, 3), dtype=np.uint8))
+    acc = jnp.zeros((), jnp.int32)
+    for _ in range(warmup):
+        acc = eval_step(variables, raw, acc)
+    jax.block_until_ready(acc)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        acc = eval_step(variables, raw, acc)
+    jax.block_until_ready(acc)
+    dt = time.perf_counter() - t0
+    return B * steps / dt / jax.device_count()
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch-size", type=int, default=128)
+    parser.add_argument("--image-size", type=int, default=448)
+    parser.add_argument("--steps", type=int, default=30)
+    parser.add_argument("--warmup", type=int, default=5)
+    parser.add_argument("--quick", action="store_true")
+    parser.add_argument("--no-aug", action="store_true",
+                        help="skip device augmentation (ablation)")
+    parser.add_argument("--no-donate", action="store_true")
+    parser.add_argument("--remat", action="store_true",
+                        help="rematerialize the forward in the backward "
+                             "(enables larger batches)")
+    parser.add_argument("--no-stem-s2d", action="store_true",
+                        help="disable the space-to-depth stem (ablation; "
+                             "numerics are identical either way)")
+    parser.add_argument("--model", choices=["all", "resnet50", "bcnn"],
+                        default="all",
+                        help="'all' = the full train+eval matrix (default); "
+                             "a model name = train-only single measurement")
+    parser.add_argument("--bcnn-batch-size", type=int, default=32)
+    parser.add_argument("--eval-batch-size", type=int, default=256)
+    args = parser.parse_args()
+    if args.quick:
+        args.steps, args.warmup = 5, 2
+        args.batch_size, args.bcnn_batch_size, args.eval_batch_size = 16, 8, 16
+
+    import hawkeye_tpu.models  # noqa: F401  (populate the registry)
+
+    stem_s2d = not args.no_stem_s2d
+    B, S = args.batch_size, args.image_size
+
+    if args.model != "all":  # legacy single-model train measurement
+        name = args.model
+        if name == "bcnn" and B == 128:
+            B = args.bcnn_batch_size
+        model = build_model(name, stem_s2d)
+        img_s = measure_train(model, B, S, args.steps, args.warmup,
+                              remat=args.remat, no_aug=args.no_aug,
+                              donate=not args.no_donate)
+        print(json.dumps({
+            "metric": f"{name}_448_train_images_per_sec_per_chip",
+            "value": round(img_s, 2),
+            "unit": "images/sec/chip",
+            "vs_baseline": round(img_s / BASELINE_IMG_S, 4),
+        }))
+        return
+
+    resnet = build_model("resnet50", stem_s2d)
+    bcnn = build_model("bcnn", stem_s2d)
+    train_r50 = measure_train(resnet, B, S, args.steps, args.warmup,
+                              remat=args.remat, no_aug=args.no_aug,
+                              donate=not args.no_donate)
+    eval_r50 = measure_eval(resnet, args.eval_batch_size, S,
+                            args.steps, args.warmup)
+    train_bcnn = measure_train(bcnn, args.bcnn_batch_size, S,
+                               args.steps, args.warmup,
+                               donate=not args.no_donate)
+    eval_bcnn = measure_eval(bcnn, args.eval_batch_size, S,
+                             args.steps, args.warmup)
     print(json.dumps({
-        "metric": f"{args.model}_448_train_images_per_sec_per_chip",
-        "value": round(img_s, 2),
+        "metric": "resnet50_448_train_images_per_sec_per_chip",
+        "value": round(train_r50, 2),
         "unit": "images/sec/chip",
-        "vs_baseline": round(img_s / BASELINE_IMG_S, 4),
+        "vs_baseline": round(train_r50 / BASELINE_IMG_S, 4),
+        "train_images_per_sec": round(train_r50, 2),
+        "eval_images_per_sec": round(eval_r50, 2),
+        "bcnn_train_images_per_sec": round(train_bcnn, 2),
+        "bcnn_eval_images_per_sec": round(eval_bcnn, 2),
+        "batch_size": B,
+        "bcnn_batch_size": args.bcnn_batch_size,
+        "eval_batch_size": args.eval_batch_size,
+        "stem_space_to_depth": stem_s2d,
     }))
 
 

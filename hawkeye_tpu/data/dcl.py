@@ -10,8 +10,18 @@ permutation so the law is exact), and emit an interleaved 2× batch
 (collate semantics of ``dataset_DCL.py:118-143``).
 
 The patch shuffle itself is a pure permutation gather on equal-size cells
-(448/7 = 64 px), done in numpy at collate time here; a jitted device variant
-is trivial with the same permutation tensors.
+(448/7 = 64 px). Two implementations share the permutation math:
+
+- host collate classes (numpy, reference-faithful path), below;
+- a device-resident variant (SURVEY §2.6 item 7): ``make_dcl_device_augment``
+  runs the whole DCL train pipeline — rotate(±15°) + random-crop(448) + hflip
+  as ONE batched grid-sample, then the jigsaw permutation gather and the 2×
+  [unswapped; swapped] batch assembly — inside the jitted train step, so
+  DCL's double-size batches get the device-pipeline speedup. Enabled by
+  ``dataset.pipeline: device`` in ``configs/DCL.yaml`` recipes. One
+  documented delta: the host decode stage resize-shorter+center-crops to the
+  512² square, where the reference ``Resize((512,512))`` squashes the aspect
+  ratio (``dataset/transforms.py:243-319``).
 """
 
 from __future__ import annotations
@@ -183,3 +193,153 @@ def subsample_per_class(labels, fraction=0.1, seed=0):
         k = max(len(idx) // int(round(1 / fraction)), 1)
         keep.extend(rng.choice(idx, size=k, replace=False))
     return np.sort(np.asarray(keep))
+
+
+# ---------------------------------------------------------------------------
+# device-resident DCL pipeline (jitted; SURVEY §2.6 item 7)
+# ---------------------------------------------------------------------------
+
+def device_neighborhood_permutation(key, n, grid=7, ran=2):
+    """Batched jax version of ``neighborhood_permutation``: [n, grid*grid].
+
+    Identical law: per-cell sort keys index + U(-ran, ran), argsort within
+    rows then within columns.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    k1, k2 = jax.random.split(key)
+    base = jnp.broadcast_to(
+        jnp.arange(grid * grid, dtype=jnp.int32).reshape(1, grid, grid),
+        (n, grid, grid))
+    keys = jnp.arange(grid, dtype=jnp.float32)[None, None, :] + jax.random.uniform(
+        k1, (n, grid, grid), minval=-ran, maxval=ran)
+    base = jnp.take_along_axis(base, jnp.argsort(keys, axis=2), axis=2)
+    keys = jnp.arange(grid, dtype=jnp.float32)[None, :, None] + jax.random.uniform(
+        k2, (n, grid, grid), minval=-ran, maxval=ran)
+    base = jnp.take_along_axis(base, jnp.argsort(keys, axis=1), axis=1)
+    return base.reshape(n, -1)
+
+
+def device_apply_jigsaw(imgs, perms, grid=7):
+    """Batched jax version of ``apply_jigsaw``.
+
+    imgs: [B, S, S, C] with S divisible by grid; perms: [B, grid*grid].
+    """
+    import jax.numpy as jnp
+
+    b, s, _, c = imgs.shape
+    assert s % grid == 0, f"image size {s} not divisible by grid {grid}"
+    cell = s // grid
+    p = imgs.reshape(b, grid, cell, grid, cell, c)
+    p = p.transpose(0, 1, 3, 2, 4, 5).reshape(b, grid * grid, cell, cell, c)
+    p = jnp.take_along_axis(p, perms[:, :, None, None, None], axis=1)
+    p = p.reshape(b, grid, grid, cell, cell, c)
+    return p.transpose(0, 1, 3, 2, 4, 5).reshape(b, s, s, c)
+
+
+def device_swap_law(perms, grid=7):
+    import jax.numpy as jnp
+
+    n = grid * grid
+    return (perms.astype(jnp.float32) - n // 2) / n
+
+
+def make_dcl_device_augment(image_size, rotate=15.0, grid=7, ran=2,
+                            cls_2=True, num_classes=None, hflip_prob=0.5):
+    """Jitted DCL train-batch builder: (key, batch) -> 2x batch.
+
+    Input batch: {'img': uint8 [B, R, R, 3], 'label': [B], 'weight'?: [B]}.
+    Output: the reference DCLTrainCollate contract (``dataset_DCL.py:118-143``)
+    with 2B rows — images rotated(±rotate°)/random-cropped(S)/flipped, then
+    [unswapped; jigsaw-swapped], plus label/label_swap/swap_law (and weight,
+    duplicated, when the trainer padded the host batch).
+    """
+    import math
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.resample import grid_sample_bilinear
+    from .transforms_device import IMAGENET_MEAN as MEAN_J
+    from .transforms_device import IMAGENET_STD as STD_J
+    from .transforms_device import hflip
+
+    s = int(image_size)
+    n_cells = grid * grid
+
+    def augment(key, batch):
+        raw = batch["img"]
+        b, r = raw.shape[0], raw.shape[1]
+        k_rot, k_y, k_x, k_flip, k_perm = jax.random.split(key, 5)
+        imgs = raw.astype(jnp.float32) / 255.0
+
+        # rotate about the R-image center (PIL rotate = CCW, zero fill),
+        # fused with the random S-crop into one output->input grid sample
+        theta = jax.random.uniform(k_rot, (b,), minval=-rotate, maxval=rotate)
+        theta = theta * (math.pi / 180.0)
+        top = jax.random.randint(k_y, (b,), 0, r - s + 1).astype(jnp.float32)
+        left = jax.random.randint(k_x, (b,), 0, r - s + 1).astype(jnp.float32)
+        cy = cx = (r - 1) / 2.0
+        ys = jnp.arange(s, dtype=jnp.float32)[None, :, None] + top[:, None, None]
+        xs = jnp.arange(s, dtype=jnp.float32)[None, None, :] + left[:, None, None]
+        cos_t = jnp.cos(theta)[:, None, None]
+        sin_t = jnp.sin(theta)[:, None, None]
+        src_x = cos_t * (xs - cx) + sin_t * (ys - cy) + cx
+        src_y = -sin_t * (xs - cx) + cos_t * (ys - cy) + cy
+        grid_yx = jnp.stack(jnp.broadcast_arrays(src_y, src_x), axis=-1)
+        out = grid_sample_bilinear(imgs, grid_yx)
+        out = hflip(k_flip, out, hflip_prob)
+
+        perms = device_neighborhood_permutation(k_perm, b, grid, ran)
+        swapped = device_apply_jigsaw(out, perms, grid)
+        both = jnp.concatenate([out, swapped], axis=0)
+        both = (both - MEAN_J) / STD_J
+
+        labels = batch["label"]
+        new = dict(batch)
+        new["img"] = both
+        new["label"] = jnp.concatenate([labels, labels])
+        if cls_2:
+            new["label_swap"] = jnp.concatenate(
+                [jnp.ones((b,), labels.dtype), jnp.zeros((b,), labels.dtype)])
+        else:
+            new["label_swap"] = jnp.concatenate(
+                [labels, labels + int(num_classes)])
+        ident = jnp.broadcast_to(
+            (jnp.arange(n_cells, dtype=jnp.float32) - n_cells // 2) / n_cells,
+            (b, n_cells))
+        new["swap_law"] = jnp.concatenate([ident, device_swap_law(perms, grid)])
+        if "weight" in batch:
+            new["weight"] = jnp.concatenate([batch["weight"], batch["weight"]])
+        return new
+
+    return augment
+
+
+def make_dcl_device_eval(image_size, grid=7, cls_2=True):
+    """Jitted DCL eval-batch prep: center crop + normalize + identity law
+    (``DCLValCollate`` semantics; no 2x expansion)."""
+    import jax.numpy as jnp
+
+    from .transforms_device import IMAGENET_MEAN as MEAN_J
+    from .transforms_device import IMAGENET_STD as STD_J
+
+    s = int(image_size)
+    n_cells = grid * grid
+
+    def prep(batch):
+        raw = batch["img"]
+        b, r = raw.shape[0], raw.shape[1]
+        off = (r - s) // 2
+        imgs = raw[:, off:off + s, off:off + s, :].astype(jnp.float32) / 255.0
+        new = dict(batch)
+        new["img"] = (imgs - MEAN_J) / STD_J
+        labels = batch["label"]
+        new["label_swap"] = (jnp.ones_like(labels) if cls_2 else labels)
+        new["swap_law"] = jnp.broadcast_to(
+            (jnp.arange(n_cells, dtype=jnp.float32) - n_cells // 2) / n_cells,
+            (b, n_cells))
+        return new
+
+    return prep

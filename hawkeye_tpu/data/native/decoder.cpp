@@ -66,6 +66,13 @@ extern "C" {
 // Returns 0 on success, nonzero on decode failure.
 int decode_resize_center(const uint8_t* data, size_t len, int target,
                          uint8_t* out) {
+  // Construct every non-trivial object BEFORE arming setjmp: the libjpeg
+  // error handler longjmps back here, and a jump across in-scope vector
+  // initializations would skip their destructors (leak per corrupt JPEG).
+  // Constructed-before-setjmp objects are destroyed normally on the error
+  // `return` path instead.
+  std::vector<uint8_t> buf;
+  std::vector<uint8_t> row;
   jpeg_decompress_struct cinfo;
   ErrorMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
@@ -100,8 +107,8 @@ int decode_resize_center(const uint8_t* data, size_t len, int target,
   const int w = cinfo.output_width;
   const int h = cinfo.output_height;
   const int comps = cinfo.output_components;
-  std::vector<uint8_t> buf(static_cast<size_t>(w) * h * 3);
-  std::vector<uint8_t> row(static_cast<size_t>(w) * comps);
+  buf.resize(static_cast<size_t>(w) * h * 3);
+  row.resize(static_cast<size_t>(w) * comps);
   uint8_t* rowp = row.data();
   for (int y = 0; y < h; ++y) {
     jpeg_read_scanlines(&cinfo, &rowp, 1);

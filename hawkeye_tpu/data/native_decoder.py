@@ -9,6 +9,7 @@ libjpeg is unavailable, or per-image on non-JPEG/corrupt inputs.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -17,16 +18,30 @@ import numpy as np
 
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "native")
 _SRC = os.path.join(_NATIVE_DIR, "decoder.cpp")
-_LIB = os.path.join(_NATIVE_DIR, "libhawkeye_decoder.so")
 
 _lock = threading.Lock()
 _lib = None
 _failed = False
 
 
-def _build():
-    cmd = ["g++", "-O3", "-shared", "-fPIC", _SRC, "-ljpeg", "-o", _LIB]
+def _lib_path():
+    """Cache path keyed by the source hash: a binary is only ever loaded if
+    it was built from exactly the reviewed source (no stale/foreign .so —
+    nothing is committed, see .gitignore)."""
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    cache = os.environ.get(
+        "HAWKEYE_NATIVE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "hawkeye_tpu"))
+    return os.path.join(cache, f"libhawkeye_decoder-{digest}.so")
+
+
+def _build(lib_path):
+    os.makedirs(os.path.dirname(lib_path), exist_ok=True)
+    tmp = lib_path + f".tmp{os.getpid()}"
+    cmd = ["g++", "-O3", "-shared", "-fPIC", _SRC, "-ljpeg", "-o", tmp]
     subprocess.run(cmd, check=True, capture_output=True)
+    os.replace(tmp, lib_path)  # atomic vs concurrent builders
 
 
 def get_lib():
@@ -38,11 +53,10 @@ def get_lib():
         if _lib is not None or _failed:
             return _lib
         try:
-            if not os.path.exists(_LIB) or (
-                os.path.getmtime(_LIB) < os.path.getmtime(_SRC)
-            ):
-                _build()
-            lib = ctypes.CDLL(_LIB)
+            lib_path = _lib_path()
+            if not os.path.exists(lib_path):
+                _build(lib_path)
+            lib = ctypes.CDLL(lib_path)
             lib.decode_resize_center.restype = ctypes.c_int
             lib.decode_resize_center.argtypes = [
                 ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,

@@ -393,12 +393,29 @@ class Trainer:
         out = self.model.apply(variables, batch["img"], train=train, **kwargs)
         return out, {}
 
+    def device_prepare_train(self, rng, batch):
+        """Device-pipeline train-batch prep (trace-time override point).
+
+        Default: run the standard augmentation stack on ``img`` only.
+        Methods with their own batch law (e.g. DCL's 2x jigsaw collate)
+        override this to rebuild the whole batch in-graph.
+        """
+        batch = dict(batch)
+        batch["img"] = self.device_augment(rng, batch["img"])
+        return batch
+
+    def device_prepare_eval(self, batch):
+        """Device-pipeline eval-batch prep (trace-time override point)."""
+        batch = dict(batch)
+        batch["img"] = self.device_eval_prep(batch["img"])
+        return batch
+
     def forward_train(self, params, state, batch, rng):
-        """Returns (loss, outputs, mutated_collections dict)."""
-        if self.pipeline == "device":
-            batch = dict(batch)
-            batch["img"] = self.device_augment(
-                jax.random.fold_in(rng, 1), batch["img"])
+        """Returns (loss, outputs, mutated_collections dict).
+
+        Expects an already device-prepared batch (the step functions run
+        ``device_prepare_train`` first so metrics see the same batch).
+        """
         variables = {"params": params, **state.extra_vars}
         mutable = []
         if state.batch_stats:
@@ -409,9 +426,6 @@ class Trainer:
         return loss, outputs, mutated
 
     def forward_eval(self, state, batch):
-        if self.pipeline == "device":
-            batch = dict(batch)
-            batch["img"] = self.device_eval_prep(batch["img"])
         variables = self.model_variables(state)
         outputs, _ = self.apply_model(variables, batch, False, None, [])
         loss = self.criterion(outputs, batch)
@@ -439,6 +453,9 @@ class Trainer:
         @partial(jax.jit, donate_argnums=(0,))
         def train_step(state, batch, lr):
             rng = jax.random.fold_in(base_key, state.step)
+            if self.pipeline == "device":
+                batch = self.device_prepare_train(
+                    jax.random.fold_in(rng, 1), batch)
 
             def loss_fn(params):
                 loss, outputs, mutated = self.forward_train(params, state, batch, rng)
@@ -474,6 +491,8 @@ class Trainer:
     def build_eval_step(self):
         @jax.jit
         def eval_step(state, batch):
+            if self.pipeline == "device":
+                batch = self.device_prepare_eval(batch)
             loss, outputs = self.forward_eval(state, batch)
             metrics = {"loss": loss, **self.compute_metrics(outputs, batch)}
             return metrics

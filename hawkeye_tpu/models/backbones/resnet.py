@@ -30,10 +30,57 @@ from typing import Any, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
+from jax import lax
 
 from ...registry import BACKBONE
 
 ModuleDef = Any
+
+
+class SpaceToDepthStem(nn.Module):
+    """7x7/stride-2 stem conv, computed in space-to-depth form (MXU-friendly).
+
+    Mathematically identical to ``Conv(64, (7,7), strides 2, padding 3)`` on
+    the raw image, but the image is first rearranged to (H/2, W/2, 12) and the
+    kernel (zero-padded 7->8 at the top/left and block-rearranged to
+    (4, 4, 12, C)) is applied at stride 1. A 3-channel conv wastes almost the
+    whole MXU lane dimension; 12 channels at a quarter of the spatial size is
+    ~2x faster on TPU (the classic MLPerf-ResNet input optimization). The
+    learnable parameter keeps the canonical (7, 7, 3, C) shape, so checkpoint
+    layout and torchvision weight conversion are unchanged; the rearrangement
+    is re-derived inside the traced forward (9408 params — free).
+    """
+
+    features: int = 64
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (7, 7, 3, self.features),
+            self.param_dtype,
+        )
+        # pad 7x7 -> 8x8 with a zero row/col at the top/left, then split each
+        # spatial dim into (tap, depth) and fold depth into the input channel.
+        w = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        w = w.reshape(4, 2, 4, 2, 3, self.features)
+        w = w.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 12, self.features)
+        b, h, wd, c = x.shape
+        assert h % 2 == 0 and wd % 2 == 0 and c == 3, (
+            "space-to-depth stem needs an even-sized RGB input"
+        )
+        x = x.reshape(b, h // 2, 2, wd // 2, 2, c)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, wd // 2, 4 * c)
+        return lax.conv_general_dilated(
+            x.astype(self.dtype),
+            w.astype(self.dtype),
+            window_strides=(1, 1),
+            padding=((2, 1), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
 
 
 class BasicBlock(nn.Module):
@@ -126,6 +173,7 @@ class ResNet(nn.Module):
     bn_epsilon: float = 1e-5
     bn_cross_replica_axis: str | None = None
     strides: Sequence[int] = (1, 2, 2, 2)
+    stem_space_to_depth: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -139,9 +187,15 @@ class ResNet(nn.Module):
             axis_name=self.bn_cross_replica_axis,
         )
         x = x.astype(self.dtype)
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-                    use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype,
-                    name="conv1")(x)
+        if self.stem_space_to_depth:
+            # same math as the 7x7/2 conv below; same param path/shape
+            # ("conv1"/"kernel", (7,7,3,64)) so checkpoints are interchangeable
+            x = SpaceToDepthStem(features=64, dtype=self.dtype,
+                                 param_dtype=self.param_dtype, name="conv1")(x)
+        else:
+            x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+                        use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype,
+                        name="conv1")(x)
         x = norm(name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])

@@ -25,10 +25,14 @@ class BaselineClassifier(nn.Module):
     backbone_name: str
     num_classes: int
     dtype: Any = jnp.bfloat16
+    stem_space_to_depth: bool = False
 
     def setup(self):
+        kwargs = {}
+        if self.stem_space_to_depth:
+            kwargs["stem_space_to_depth"] = True  # resnets only
         self.backbone = BACKBONE.get(self.backbone_name)(
-            num_classes=0, dtype=self.dtype, name="backbone"
+            num_classes=0, dtype=self.dtype, name="backbone", **kwargs
         )
         self.fc = nn.Dense(self.num_classes, dtype=jnp.float32, name="fc")
 
@@ -41,7 +45,9 @@ class BaselineClassifier(nn.Module):
 def _register_baseline(model_name, backbone_name):
     def factory(config):
         return BaselineClassifier(
-            backbone_name=backbone_name, num_classes=config.num_classes
+            backbone_name=backbone_name,
+            num_classes=config.num_classes,
+            stem_space_to_depth=bool(getattr(config, "stem_space_to_depth", False)),
         )
 
     factory.__name__ = model_name

@@ -79,3 +79,24 @@ def test_resnet_jits(x32):
 
     out = fwd(variables, x32)
     assert out.shape == (2, 4)
+
+
+def test_space_to_depth_stem_matches_standard_stem():
+    """The s2d stem is the same math as Conv(64, 7x7, /2, pad 3).
+
+    Same param tree (conv1/kernel, (7,7,3,64)) so checkpoints interchange;
+    outputs agree to float32 rounding on a shared parameter set.
+    """
+    import numpy as np
+
+    f = BACKBONE.get("resnet18")
+    m_std = f(num_classes=0, dtype=jnp.float32)
+    m_s2d = f(num_classes=0, dtype=jnp.float32, stem_space_to_depth=True)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 64, 64, 3), jnp.float32)
+    v = m_std.init(jax.random.PRNGKey(0), x, train=False)
+    v2 = m_s2d.init(jax.random.PRNGKey(0), x, train=False)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v2)
+    y1 = m_std.apply(v, x, train=False)
+    y2 = m_s2d.apply(v, x, train=False)
+    assert float(jnp.abs(y1["stem"] - y2["stem"]).max()) < 1e-5
+    assert float(jnp.abs(y1["pool"] - y2["pool"]).max()) < 1e-5

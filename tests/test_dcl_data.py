@@ -86,3 +86,102 @@ def test_subsample_per_class():
     assert len(keep) == 10  # 2 per class
     kept_labels = labels[keep]
     assert (np.bincount(kept_labels, minlength=5) == 2).all()
+
+
+# ---------------------------------------------------------------------------
+# device-resident DCL pipeline (SURVEY §2.6 item 7)
+# ---------------------------------------------------------------------------
+
+def test_device_jigsaw_matches_host():
+    import jax.numpy as jnp
+
+    from hawkeye_tpu.data.dcl import device_apply_jigsaw
+
+    rng = np.random.RandomState(0)
+    imgs = rng.rand(3, 28, 28, 3).astype(np.float32)
+    perms = np.stack([neighborhood_permutation(rng) for _ in range(3)])
+    dev = np.asarray(device_apply_jigsaw(jnp.asarray(imgs), jnp.asarray(perms)))
+    for i in range(3):
+        np.testing.assert_allclose(dev[i], apply_jigsaw(imgs[i], perms[i]))
+
+
+def test_device_permutation_is_local_permutation():
+    import jax
+
+    from hawkeye_tpu.data.dcl import device_neighborhood_permutation
+
+    perms = np.asarray(device_neighborhood_permutation(
+        jax.random.PRNGKey(0), 8, grid=7, ran=2))
+    assert perms.shape == (8, 49)
+    moved = 0
+    for p in perms:
+        assert sorted(p.tolist()) == list(range(49))
+        src_r, src_c = p // 7, p % 7
+        dst = np.arange(49)
+        assert np.abs(src_r - dst // 7).max() <= 4
+        assert np.abs(src_c - dst % 7).max() <= 4
+        moved += int((p != dst).sum())
+    assert moved > 0  # not all identity
+
+
+def test_device_augment_batch_contract():
+    """2x layout + the emitted law reconstructs the emitted swapped images."""
+    import jax
+    import jax.numpy as jnp
+
+    from hawkeye_tpu.data.dcl import (
+        device_apply_jigsaw,
+        make_dcl_device_augment,
+    )
+
+    rng = np.random.RandomState(0)
+    b, r, s = 3, 32, 28
+    batch = {
+        "img": jnp.asarray(rng.randint(0, 255, (b, r, r, 3), np.uint8)),
+        "label": jnp.asarray([5, 6, 7], jnp.int32),
+        "weight": jnp.asarray([1.0, 1.0, 0.0], jnp.float32),
+    }
+    augment = make_dcl_device_augment(s, rotate=15.0, grid=7, cls_2=True)
+    out = jax.jit(augment)(jax.random.PRNGKey(0), batch)
+    assert out["img"].shape == (2 * b, s, s, 3)
+    assert out["label"].tolist() == [5, 6, 7, 5, 6, 7]
+    assert out["label_swap"].tolist() == [1, 1, 1, 0, 0, 0]
+    assert out["weight"].tolist() == [1.0, 1.0, 0.0, 1.0, 1.0, 0.0]
+    law = np.asarray(out["swap_law"])
+    np.testing.assert_allclose(law[:b], np.stack([identity_law(7)] * b), atol=1e-6)
+    # recover each permutation from the law and re-apply the jigsaw
+    perms = np.rint(law[b:] * 49 + 24).astype(np.int32)
+    redo = np.asarray(device_apply_jigsaw(out["img"][:b], jnp.asarray(perms)))
+    np.testing.assert_allclose(redo, np.asarray(out["img"][b:]), atol=1e-5)
+
+
+def test_dcl_trainer_device_pipeline(tmp_path):
+    """`dataset.pipeline: device` end-to-end for DCL (VERDICT r1 item 4)."""
+    import importlib
+
+    from hawkeye_tpu.config import ConfigNode
+
+    module = importlib.import_module("Examples.DCL")
+    cfg = ConfigNode({
+        "experiment": {"name": "dcl_dev", "log_dir": str(tmp_path), "seed": 0,
+                       "debug": True},
+        "dataset": {
+            "name": "synthetic", "length": 8, "batch_size": 4,
+            "num_workers": 0, "pipeline": "device",
+            "transformer": {"image_size": 56, "resize_size": 64,
+                            "swap_num": [7, 7]},
+        },
+        "model": {"name": "DCL", "num_classes": 4, "cls_2": True,
+                  "cls_2xmul": False, "backbone": "resnet18"},
+        "train": {
+            "epoch": 1,
+            "optimizer": {"name": "SGD", "lr": 0.001, "lr_ratio": 10,
+                          "momentum": 0.9},
+            "scheduler": {"name": "CosineAnnealingLR", "T_max": 1},
+            "criterion": {"name": "DCLLoss", "alpha": 1, "beta": 1,
+                          "gamma": 1},
+        },
+    })
+    cfg.freeze()
+    trainer = module.DCLTrainer(cfg)
+    trainer.train()

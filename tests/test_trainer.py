@@ -138,3 +138,38 @@ def test_tester_requires_load(tmp_path):
     test_cfg.freeze()
     with pytest.raises(AssertionError):
         Tester(test_cfg)
+
+
+def test_interp_parts_batch_lr_resume_continuity(tmp_path):
+    """A resumed Interp-Parts run continues the per-batch cosine where it
+    stopped instead of replaying from the top (VERDICT r1 item 10)."""
+    import importlib
+
+    module = importlib.import_module("Examples.InterpPartsNet")
+    ip_model = {"name": "IP_ResNet50", "num_classes": 4, "num_parts": 2}
+    ip_crit = {"name": "InterpPartsLoss", "radius": 1, "std": 0.4,
+               "alpha": 1, "beta": 0.001, "coeff": 0.5}
+    cfg = make_config(tmp_path, "iplr_a", epochs=2,
+                      **{"model": ip_model, "train.criterion": ip_crit,
+                         "train.save_frequence": 1})
+    t1 = module.InterpPartsTrainer(cfg)
+    t1.train()
+    steps_per_epoch = len(t1.dataloaders["train"])
+    ckpt = sorted(glob.glob(os.path.join(t1.log_root, "checkpoint_*.msgpack")))[-1]
+
+    cfg2 = make_config(tmp_path, "iplr_b", epochs=3,
+                       **{"model": ip_model, "train.criterion": ip_crit})
+    cfg2.defrost()
+    cfg2.experiment.resume = ckpt
+    cfg2.freeze()
+    t2 = module.InterpPartsTrainer(cfg2)
+    assert t2.start_epoch == 2
+    # the first post-resume batch LR equals what a fresh run would use at the
+    # same global step (2 epochs in), NOT the schedule's step-0 value
+    expected_step = 2 * steps_per_epoch
+    total = max(steps_per_epoch * 3, 1)
+    import math as _math
+    base = 0.01
+    want = 0.5 * base * (1.0 + _math.cos(_math.pi * min(expected_step / total, 1.0)))
+    got = t2.batch_lr(base)
+    assert abs(got - want) < 1e-9
