@@ -50,6 +50,31 @@ class PLTrainer(Trainer):
                     (pred == batch["label"]).astype(jnp.float32) * w).sum()
         return metrics
 
+    # ------------------------------------------------------------------
+    # per-epoch acc1/acc2 reporting (reference train_peer.py epoch meters);
+    # device scalars are accumulated lazily and pulled once per epoch so the
+    # async dispatch pipeline is not serialized
+    # ------------------------------------------------------------------
+    def train_epoch(self, lr):
+        self._pl_batches = []
+        out = super().train_epoch(lr)
+        if self._pl_batches:
+            c1 = sum(float(b[0]) for b in self._pl_batches)
+            c2 = sum(float(b[1]) for b in self._pl_batches)
+            n = max(sum(float(b[2]) for b in self._pl_batches), 1.0)
+            acc1, acc2 = 100.0 * c1 / n, 100.0 * c2 / n
+            self.performance_meters["train"]["acc1"].update(acc1)
+            self.performance_meters["train"]["acc2"].update(acc2)
+            self.logger.info(
+                f"Epoch {self.epoch}: peer acc1 {acc1:.2f} acc2 {acc2:.2f} "
+                f"(drop rate {self.rate_schedule[self.epoch]:.3f})")
+        return out
+
+    def on_end_batch(self, metrics):
+        if "correct1" in metrics:
+            self._pl_batches.append(
+                (metrics["correct1"], metrics["correct2"], metrics["count"]))
+
 
 if __name__ == "__main__":
     PLTrainer().train()

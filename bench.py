@@ -172,7 +172,8 @@ def main():
                         default="all",
                         help="'all' = the full train+eval matrix (default); "
                              "a model name = train-only single measurement")
-    parser.add_argument("--bcnn-batch-size", type=int, default=32)
+    parser.add_argument("--bcnn-batch-size", type=int, default=112)
+    # bs sweep (448², v5e): 32→292, 48→291, 64→274, 96→315, 112→333, 128→292
     parser.add_argument("--eval-batch-size", type=int, default=256)
     args = parser.parse_args()
     if args.quick:

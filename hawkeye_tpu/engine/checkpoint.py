@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 
 import jax
 import numpy as np
@@ -28,17 +29,61 @@ def _to_host(tree):
     return jax.tree.map(lambda x: np.asarray(x), tree)
 
 
-def save_model(path, variables):
+# -- async writes -----------------------------------------------------------
+# The device->host transfer is always synchronous (the arrays are immutable
+# snapshots once on host); only serialization + disk IO move off-thread.
+# One in-flight write at a time keeps ordering deterministic.
+_write_lock = threading.Lock()
+_pending: list[threading.Thread] = []
+
+
+def _write_async(fn):
+    def run():
+        with _write_lock:
+            try:
+                fn()
+            except Exception:
+                import traceback
+
+                traceback.print_exc()
+
+    t = threading.Thread(target=run, daemon=True)
+    _pending.append(t)
+    t.start()
+    return t
+
+
+def wait_for_pending_writes():
+    """Block until every async checkpoint write has hit disk (call before
+    reading a just-saved file or at teardown)."""
+    while _pending:
+        _pending.pop().join()
+
+
+def save_model(path, variables, async_write=False):
     """Weights-only save: ALL variable collections, msgpack.
 
     Saving every collection (not just params/batch_stats) matters for
     methods with non-gradient state — e.g. ProtoTree's learned leaf
     distributions live in the 'tree_leaves' collection
     (``models/methods/prototree.py:115-117``); dropping them would reload
-    uniform leaves (chance-level predictions)."""
-    payload = dict(variables)
-    with open(path, "wb") as f:
-        f.write(serialization.to_bytes(_to_host(payload)))
+    uniform leaves (chance-level predictions).
+
+    ``async_write=True`` snapshots to host synchronously and moves
+    serialization + disk IO to a background thread (large models; see
+    ``wait_for_pending_writes``)."""
+    host = _to_host(dict(variables))
+
+    def write():
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(serialization.to_bytes(host))
+        os.replace(tmp, path)
+
+    if async_write:
+        _write_async(write)
+    else:
+        write()
 
 
 def load_model(path, target_variables, logger=None, strict=False):
@@ -76,7 +121,7 @@ def load_model(path, target_variables, logger=None, strict=False):
 
 
 def save_checkpoint(path, *, epoch, variables, opt_state, scheduler_state=None,
-                    extra=None):
+                    extra=None, async_write=False):
     """Full training state (model + optimizer + scheduler + counters)."""
     payload = {
         "epoch": np.asarray(epoch),
@@ -84,10 +129,19 @@ def save_checkpoint(path, *, epoch, variables, opt_state, scheduler_state=None,
         "opt_state": _to_host(serialization.to_state_dict(opt_state)),
     }
     meta = {"scheduler": scheduler_state or {}, "extra": extra or {}}
-    with open(path, "wb") as f:
-        f.write(serialization.to_bytes(payload))
-    with open(path + ".meta.json", "w") as f:
-        json.dump(meta, f)
+
+    def write():
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(serialization.to_bytes(payload))
+        os.replace(tmp, path)
+        with open(path + ".meta.json", "w") as f:
+            json.dump(meta, f)
+
+    if async_write:
+        _write_async(write)
+    else:
+        write()
 
 
 def load_checkpoint(path, *, variables_like, opt_state_like):

@@ -39,6 +39,15 @@ class Tester:
         tcfg = self.config.dataset.transformer
         image_size = int(tcfg.image_size)
         resize_size = int(tcfg.get("resize_size", image_size * 8 // 7))
+        # pipeline mode mirrors the Trainer: 'host' = PIL EvalPreset,
+        # 'device' = host decodes fixed uint8, center-crop + normalize run
+        # inside the jitted eval step
+        self.pipeline = self.config.dataset.get("pipeline", "host")
+        self._decode_size = resize_size if self.pipeline == "device" else None
+        if self.pipeline == "device":
+            from ..data.transforms_device import make_eval_transform
+
+            self.device_eval_prep = make_eval_transform(image_size=image_size)
         self.transformer = self.get_transformer(image_size, resize_size)
 
         self.dataset = self.get_dataset(self.config.dataset)
@@ -69,6 +78,8 @@ class Tester:
         self.timer = Timer()
 
     def get_transformer(self, image_size, resize_size):
+        if self.pipeline == "device":
+            return None  # host side only decodes
         return EvalPreset(image_size, resize_size)
 
     def get_dataset(self, ds_config):
@@ -78,11 +89,13 @@ class Tester:
                 ds_config.get("num_classes", self.config.model.num_classes),
                 ds_config.transformer.image_size,
                 transform=self.transformer,
+                decode_size=self._decode_size,
             )
         return FGDataset(
             ds_config.root_dir,
             os.path.join(ds_config.meta_dir, "val.txt"),
             transform=self.transformer,
+            decode_size=self._decode_size,
         )
 
     def get_model(self, model_config):
@@ -94,6 +107,9 @@ class Tester:
     def build_eval_step(self):
         @jax.jit
         def eval_step(variables, batch):
+            if self.pipeline == "device":
+                batch = dict(batch)
+                batch["img"] = self.device_eval_prep(batch["img"])
             outputs = self.model.apply(variables, batch["img"], train=False)
             logits = outputs["logits"] if isinstance(outputs, dict) else outputs
             pred = jnp.argmax(logits, -1)

@@ -608,6 +608,7 @@ class Trainer:
 
         if not saved_this_epoch:
             self.save_checkpoint()
+        ckpt.wait_for_pending_writes()  # join async checkpoint writers
         self.on_end_train()
         best = self.performance_meters["val"]["acc"].best_value
         if best is not None:
@@ -721,8 +722,17 @@ class Trainer:
     # ------------------------------------------------------------------
     # checkpointing (reference train.py:369-395)
     # ------------------------------------------------------------------
+    @property
+    def _async_ckpt(self):
+        """``train.async_checkpoint: true`` moves checkpoint serialization +
+        disk IO to a background thread (the device->host snapshot stays
+        synchronous); writes are joined at end-of-train and before resume
+        reads (``checkpoint.wait_for_pending_writes``)."""
+        return bool(self.config.train.get("async_checkpoint", False))
+
     def save_model(self, path):
-        ckpt.save_model(path, self.model_variables())
+        ckpt.save_model(path, self.model_variables(),
+                        async_write=self._async_ckpt)
 
     def save_checkpoint(self, path=None):
         path = path or os.path.join(
@@ -735,10 +745,12 @@ class Trainer:
             opt_state=self.state.opt_state,
             scheduler_state=self.scheduler.state_dict(),
             extra={"step": int(self.state.step)},
+            async_write=self._async_ckpt,
         )
         self.logger.info(f"checkpoint saved: {path}")
 
     def load_checkpoint(self, path):
+        ckpt.wait_for_pending_writes()  # same-process save->resume ordering
         epoch, variables, opt_state, sched_state, extra = ckpt.load_checkpoint(
             path,
             variables_like=self.model_variables(),

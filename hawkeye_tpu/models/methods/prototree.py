@@ -84,6 +84,10 @@ class ProtoTreeNet(nn.Module):
     num_features: int = 256
     backbone_name: str = "resnet50"
     dtype: Any = jnp.bfloat16
+    # inference strategy when the caller doesn't pass `sampling` explicitly:
+    # 'distributed' (soft path mixture) or 'sample_max' (argmax leaf) —
+    # reference ProtoTree --sampling_strategy; exposed as `model.sampling`
+    eval_sampling: str = "distributed"
 
     @property
     def num_branches(self):
@@ -94,7 +98,11 @@ class ProtoTreeNet(nn.Module):
         return 2**self.height
 
     @nn.compact
-    def __call__(self, x, train: bool = False, sampling: str = "distributed"):
+    def __call__(self, x, train: bool = False, sampling: str | None = None):
+        if sampling is None:
+            # training always uses the distributed mixture (the leaf update
+            # needs pa_leaf-weighted targets); eval follows the config
+            sampling = "distributed" if train else self.eval_sampling
         stages = BACKBONE.get(self.backbone_name)(
             num_classes=0, dtype=self.dtype, name="backbone")(x, train=train)
         feats = nn.Conv(self.num_features, (1, 1), use_bias=False,
@@ -141,4 +149,5 @@ def build_prototree(config):
         num_features=int(config.get("num_features", 256)),
         backbone_name=(config.get("backbone", {}) or {}).get("name", "resnet50")
         if hasattr(config.get("backbone", None) or {}, "get") else "resnet50",
+        eval_sampling=str(config.get("sampling", "distributed")),
     )

@@ -95,3 +95,31 @@ def test_tester_reads_extra_collections(tmp_path):
     host_vars = jax.device_get(tester.variables)
     np.testing.assert_allclose(_leaves(host_vars), leaves, rtol=1e-6)
     tester.test()
+
+
+def test_async_checkpoint_roundtrip(tmp_path):
+    """`train.async_checkpoint: true`: background writes land identical bytes
+    semantics to sync writes, and wait_for_pending_writes orders reads."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hawkeye_tpu.engine import checkpoint as ckpt
+
+    variables = {"params": {"w": jnp.arange(6.0).reshape(2, 3)},
+                 "tree_leaves": {"dist_params": jnp.ones((4, 2))}}
+    p_sync = str(tmp_path / "sync.msgpack")
+    p_async = str(tmp_path / "async.msgpack")
+    ckpt.save_model(p_sync, variables)
+    ckpt.save_model(p_async, variables, async_write=True)
+    ckpt.wait_for_pending_writes()
+    assert open(p_sync, "rb").read() == open(p_async, "rb").read()
+
+    loaded = ckpt.load_model(
+        p_async,
+        {"params": {"w": jnp.zeros((2, 3))},
+         "tree_leaves": {"dist_params": jnp.zeros((4, 2))}})
+    np.testing.assert_array_equal(np.asarray(loaded["params"]["w"]),
+                                  np.arange(6.0).reshape(2, 3))
+    np.testing.assert_array_equal(
+        np.asarray(loaded["tree_leaves"]["dist_params"]), np.ones((4, 2)))

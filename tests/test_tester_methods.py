@@ -50,3 +50,34 @@ def test_tester_handles_method(tmp_path, model_cfg, criterion):
     test_cfg.freeze()
     acc = Tester(test_cfg).test()
     assert 0.0 <= acc <= 100.0
+
+
+def test_tester_device_pipeline(tmp_path):
+    """Tester with `dataset.pipeline: device`: host decode + in-graph
+    center-crop/normalize matches the Trainer's device eval path."""
+    import jax
+    import numpy as np
+
+    import hawkeye_tpu.models  # noqa: F401
+    from hawkeye_tpu.config import ConfigNode
+    from hawkeye_tpu.engine import Tester, checkpoint as ckpt
+    from hawkeye_tpu.registry import MODEL
+
+    model = MODEL.get("ResNet18")(ConfigNode({"num_classes": 4}))
+    import jax.numpy as jnp
+
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 32, 32, 3)),
+                           train=False)
+    path = str(tmp_path / "m.msgpack")
+    ckpt.save_model(path, variables)
+
+    cfg = ConfigNode({
+        "dataset": {"name": "synthetic", "length": 16, "batch_size": 8,
+                    "num_workers": 0, "pipeline": "device",
+                    "transformer": {"image_size": 32, "resize_size": 36}},
+        "model": {"name": "ResNet18", "num_classes": 4, "load": path},
+    })
+    cfg.freeze()
+    tester = Tester(cfg)
+    acc = tester.test()
+    assert 0.0 <= acc <= 100.0
