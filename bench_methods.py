@@ -1,0 +1,167 @@
+#!/usr/bin/env python
+"""Per-method train-step throughput matrix on the current backend.
+
+Complements bench.py (the north-star ResNet-50/BCNN numbers) with one row
+per method of the zoo, each at its reference recipe's input size and batch
+size (configs/*.yaml), on synthetic data. The host loader is taken out of
+the loop: one real batch is prepared once and the jitted train step is
+timed steady-state, so rows measure the device program (fwd+bwd+update and
+any in-step machinery — NMS, crops, leaf updates, peer exchange).
+
+Each method runs in a subprocess (isolated TPU memory, one failure doesn't
+kill the matrix): ``python bench_methods.py`` prints one JSON line per
+method plus a closing summary line; ``--method NAME`` runs one in-process.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+# method -> (config yaml, Examples module, Trainer class)
+CASES = {
+    "Baseline": ("configs/Baseline.yaml", "Examples.Baseline", "BaselineTrainer"),
+    "BCNN": ("configs/BCNN_S2.yaml", "Examples.BCNN", "BCNNTrainer"),
+    "CBCNN": ("configs/CBCNN_S2.yaml", "Examples.CBCNN", "CBCNNTrainer"),
+    "MPN": ("configs/MPN.yaml", "Examples.MPN", "MPNTrainer"),
+    "OSMENet": ("configs/OSMENet.yaml", "Examples.OSMENet", "OSMETrainer"),
+    "APINet": ("configs/APINet.yaml", "Examples.APINet", "APINetTrainer"),
+    "NTSNet": ("configs/NTSNet.yaml", "Examples.NTSNet", "NTSNetTrainer"),
+    "S3N": ("configs/S3N.yaml", "Examples.S3N", "S3NTrainer"),
+    "MGE_CNN": ("configs/MGE_CNN.yaml", "Examples.MGE_CNN", "MGETrainer"),
+    "APCNN": ("configs/APCNN.yaml", "Examples.APCNN", "APCNNTrainer"),
+    "CrossX": ("configs/CrossX.yaml", "Examples.CrossX", "CrossXTrainer"),
+    "DCL": ("configs/DCL.yaml", "Examples.DCL", "DCLTrainer"),
+    "CIN": ("configs/CIN.yaml", "Examples.CIN", "CINTrainer"),
+    "InterpParts": ("configs/InterpPartsNet.yaml", "Examples.InterpPartsNet",
+                    "InterpPartsTrainer"),
+    "ProtoTree": ("configs/ProtoTreeNet.yaml", "Examples.ProtoTreeNet",
+                  "ProtoTreeTrainer"),
+    "PeerLearning": ("configs/PeerLearning_BCNN_S2.yaml",
+                     "Examples.PeerLearning", "PLTrainer"),
+    "PairConfusion": ("configs/PC_resnet50.yaml", "Examples.PairConfusion",
+                      "PairConfusionTrainer"),
+}
+
+
+def _bench_config(config_path, batch_size=None):
+    import yaml
+
+    from hawkeye_tpu.config import ConfigNode
+
+    with open(config_path) as f:
+        raw = yaml.safe_load(f)
+    # synthetic data, no weight loading: measure the device program only
+    ds = raw["dataset"]
+    ds["name"] = "synthetic"
+    ds.pop("root_dir", None)
+    ds.pop("meta_dir", None)
+    ds["num_workers"] = 0
+    if batch_size:
+        ds["batch_size"] = int(batch_size)
+    # enough samples that balanced samplers can fill one batch
+    ds["length"] = max(2 * int(ds["batch_size"]), 512)
+    raw["model"].pop("load", None)
+    raw["model"].pop("pretrain", None)
+    if isinstance(raw["model"].get("backbone"), dict):
+        raw["model"]["backbone"].pop("pretrain", None)
+    if isinstance(raw["model"].get("base_model"), dict):
+        raw["model"]["base_model"].pop("load", None)
+    raw["experiment"]["log_dir"] = tempfile.mkdtemp(prefix="hawkeye_bench_")
+    raw["experiment"]["debug"] = True
+    cfg = ConfigNode(raw)
+    cfg.freeze()
+    return cfg
+
+
+def run_one(method, steps, warmup, batch_size=None):
+    import importlib
+
+    import jax
+    import jax.numpy as jnp
+
+    import hawkeye_tpu.models  # noqa: F401  (populate the registry)
+
+    config_path, module_name, cls_name = CASES[method]
+    cfg = _bench_config(config_path, batch_size)
+    trainer_cls = getattr(importlib.import_module(module_name), cls_name)
+    trainer = trainer_cls(cfg)
+    trainer.epoch = 0
+    trainer.on_start_epoch()
+
+    batch = next(iter(trainer.dataloaders["train"]))
+    device_batch = trainer.prepare_batch(batch, train=True)
+    n_imgs = int(device_batch["img"].shape[0])
+    lr = jnp.asarray(trainer.scheduler.epoch_lr(0), jnp.float32)
+
+    for _ in range(warmup):
+        trainer.state, metrics = trainer.train_step_call(device_batch, lr)
+    jax.block_until_ready(trainer.state.params)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        trainer.state, metrics = trainer.train_step_call(device_batch, lr)
+    jax.block_until_ready(trainer.state.params)
+    dt = time.perf_counter() - t0
+
+    tr = cfg.dataset.transformer
+    return {
+        "method": method,
+        "image_size": int(tr.image_size),
+        "batch_size": int(cfg.dataset.batch_size),
+        "images_per_step": n_imgs,  # DCL interleaves 2x; others == batch_size
+        "step_ms": round(dt / steps * 1e3, 2),
+        "images_per_sec": round(n_imgs * steps / dt / jax.device_count(), 2),
+    }
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--method", choices=sorted(CASES), default=None)
+    parser.add_argument("--steps", type=int, default=20)
+    parser.add_argument("--warmup", type=int, default=4)
+    parser.add_argument("--batch-size", type=int, default=None,
+                        help="override the config batch size")
+    parser.add_argument("--timeout", type=int, default=900,
+                        help="per-method subprocess timeout (matrix mode)")
+    args = parser.parse_args()
+
+    if args.method:
+        print(json.dumps(run_one(args.method, args.steps, args.warmup,
+                                 args.batch_size)))
+        return
+
+    rows = []
+    for method in CASES:
+        cmd = [sys.executable, os.path.abspath(__file__), "--method", method,
+               "--steps", str(args.steps), "--warmup", str(args.warmup)]
+        if args.batch_size:
+            cmd += ["--batch-size", str(args.batch_size)]
+        try:
+            out = subprocess.run(
+                cmd, capture_output=True, text=True, timeout=args.timeout,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
+            row = json.loads(line)
+        except Exception as e:  # noqa: BLE001 — a row failure is a result
+            row = {"method": method, "error": str(e)[:200]}
+            if "out" in dir() and out.stderr:
+                row["stderr_tail"] = out.stderr.strip().splitlines()[-1][:200]
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+    ok = [r for r in rows if "images_per_sec" in r]
+    print(json.dumps({
+        "metric": "method_matrix_images_per_sec",
+        "methods_ok": len(ok),
+        "methods_total": len(rows),
+        "min": min((r["images_per_sec"] for r in ok), default=0),
+        "max": max((r["images_per_sec"] for r in ok), default=0),
+    }))
+
+
+if __name__ == "__main__":
+    main()
