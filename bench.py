@@ -100,20 +100,27 @@ def measure_train(model, B, S, steps, warmup, *, remat=False, no_aug=False,
     raw = jax.device_put(host.randint(0, 256, (B, R, R, 3), dtype=np.uint8))
     labels = jax.device_put(host.randint(0, 200, (B,)).astype(np.int32))
 
+    # Anti-elision discipline for the axon tunnel (NEXT.md): inputs must
+    # differ every step (the fresh rng key does that) and each timed segment
+    # must END WITH A HOST FETCH — block_until_ready alone does not force
+    # remote execution. The loss-progression assert catches silent replay.
     key = jax.random.PRNGKey(1)
     for _ in range(warmup):
         key, k = jax.random.split(key)
         params, batch_stats, opt_state, loss = train_step(
             params, batch_stats, opt_state, k, raw, labels)
-    jax.block_until_ready(loss)
+    warm_loss = float(loss)
 
     t0 = time.perf_counter()
     for _ in range(steps):
         key, k = jax.random.split(key)
         params, batch_stats, opt_state, loss = train_step(
             params, batch_stats, opt_state, k, raw, labels)
-    jax.block_until_ready(loss)
+    final_loss = float(loss)
     dt = time.perf_counter() - t0
+    if final_loss == warm_loss:
+        raise RuntimeError("loss did not change over the timed steps — "
+                           "suspected runtime replay; measurement invalid")
     return B * steps / dt / jax.device_count()
 
 
@@ -143,11 +150,11 @@ def measure_eval(model, B, S, steps, warmup):
     acc = jnp.zeros((), jnp.int32)
     for _ in range(warmup):
         acc = eval_step(variables, raw, acc)
-    jax.block_until_ready(acc)
+    int(acc)  # host fetch: forces execution (block_until_ready is not enough)
     t0 = time.perf_counter()
     for _ in range(steps):
         acc = eval_step(variables, raw, acc)
-    jax.block_until_ready(acc)
+    int(acc)
     dt = time.perf_counter() - t0
     return B * steps / dt / jax.device_count()
 

@@ -97,16 +97,30 @@ def run_one(method, steps, warmup, batch_size=None):
     batch = next(iter(trainer.dataloaders["train"]))
     device_batch = trainer.prepare_batch(batch, train=True)
     n_imgs = int(device_batch["img"].shape[0])
-    lr = jnp.asarray(trainer.scheduler.epoch_lr(0), jnp.float32)
+    lr0 = float(trainer.scheduler.epoch_lr(0)) or 1e-4
 
-    for _ in range(warmup):
-        trainer.state, metrics = trainer.train_step_call(device_batch, lr)
-    jax.block_until_ready(trainer.state.params)
+    # Axon-tunnel measurement rules (see NEXT.md): the remote runtime replays
+    # cached step results when a dispatch looks bit-identical to a previous
+    # one (chaining donated state is NOT enough), and block_until_ready does
+    # not force remote execution — only a host fetch does. So (a) every step
+    # gets a unique lr input (~1e-6 relative jitter, timing-neutral), and
+    # (b) each segment ends by fetching the loss scalar.
+    def lr_i(i):
+        return jnp.asarray(lr0 * (1.0 + 1e-6 * (i % 97)), jnp.float32)
+
+    metrics = None
+    for i in range(warmup):
+        trainer.state, metrics = trainer.train_step_call(device_batch, lr_i(i))
+    warm_loss = float(metrics["loss"])
     t0 = time.perf_counter()
-    for _ in range(steps):
-        trainer.state, metrics = trainer.train_step_call(device_batch, lr)
-    jax.block_until_ready(trainer.state.params)
+    for i in range(steps):
+        trainer.state, metrics = trainer.train_step_call(
+            device_batch, lr_i(warmup + i))
+    final_loss = float(metrics["loss"])
     dt = time.perf_counter() - t0
+    if final_loss == warm_loss:
+        raise RuntimeError("loss did not change over the timed steps — "
+                           "suspected runtime replay; measurement invalid")
 
     tr = cfg.dataset.transformer
     return {
