@@ -71,17 +71,20 @@ class ProtoTreeTrainer(Trainer):
 
         return train_step
 
-    def train_epoch(self, lr):
+    def on_start_epoch(self):
+        # snapshot leaf params for the running-average replacement; lives in
+        # the epoch-start hook (not train_epoch) so any caller that drives
+        # steps directly after on_start_epoch — e.g. bench_methods.py — gets
+        # valid step inputs
         import jax.numpy as jnp
         import numpy as np
 
-        # snapshot leaf params for the running-average replacement
+        super().on_start_epoch()
         old = np.asarray(self.state.extra_vars["tree_leaves"]["dist_params"])
         num_batches = max(len(self.dataloaders["train"]), 1)
         self._old_leaf_over_batches = jnp.asarray(old / num_batches)
         self._backbone_on = jnp.asarray(
             0.0 if self.epoch < self.FREEZE_EPOCHS else 1.0, jnp.float32)
-        return super().train_epoch(lr)
 
     def train_step_call(self, batch, lr):
         return self._train_step(self.state, batch, lr,

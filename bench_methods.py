@@ -155,6 +155,7 @@ def main():
                "--steps", str(args.steps), "--warmup", str(args.warmup)]
         if args.batch_size:
             cmd += ["--batch-size", str(args.batch_size)]
+        out = None
         try:
             out = subprocess.run(
                 cmd, capture_output=True, text=True, timeout=args.timeout,
@@ -163,8 +164,13 @@ def main():
             row = json.loads(line)
         except Exception as e:  # noqa: BLE001 — a row failure is a result
             row = {"method": method, "error": str(e)[:200]}
-            if "out" in dir() and out.stderr:
-                row["stderr_tail"] = out.stderr.strip().splitlines()[-1][:200]
+            # this iteration's stderr only: the run() result if it returned,
+            # else what TimeoutExpired captured
+            stderr = out.stderr if out is not None else getattr(e, "stderr", None)
+            if isinstance(stderr, bytes):
+                stderr = stderr.decode(errors="replace")
+            if stderr:
+                row["stderr_tail"] = stderr.strip().splitlines()[-1][:200]
         rows.append(row)
         print(json.dumps(row), flush=True)
     ok = [r for r in rows if "images_per_sec" in r]

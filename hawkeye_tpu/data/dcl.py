@@ -77,6 +77,14 @@ def _normalize(u8):
     return ((u8.astype(np.float32) / 255.0) - IMAGENET_MEAN) / IMAGENET_STD
 
 
+def _weights(items):
+    """Per-row sample weights: PaddingAwareDataset marks multi-host padding
+    rows weight 0; collates must carry the key through or prepare_batch will
+    re-weight every row 1 and padded rows would count in losses/metrics."""
+    return np.asarray([float(it.get("weight", 1.0)) for it in items],
+                      np.float32)
+
+
 class DCLTrainCollate:
     """Items carry uint8 'img' [S,S,3] (post common-aug). Emits the 2× batch:
     [unswapped; swapped] with labels / swap labels / laws."""
@@ -110,11 +118,13 @@ class DCLTrainCollate:
         swap_label_batch = np.asarray(
             [s[0] for s in swap_labels] + [s[1] for s in swap_labels], np.int64)
         law_batch = np.stack(laws + swap_laws).astype(np.float32)
+        w = _weights(items)
         return {
             "img": img_batch,
             "label": label_batch,
             "label_swap": swap_label_batch,
             "swap_law": law_batch,
+            "weight": np.concatenate([w, w]),  # [unswapped; swapped]
         }
 
 
@@ -131,7 +141,7 @@ class DCLValCollate:
         law = np.stack([identity_law(self.grid)] * len(items)).astype(np.float32)
         swap_label = (np.ones_like(labels) if self.cls_2 else labels)
         return {"img": imgs, "label": labels, "label_swap": swap_label,
-                "swap_law": law}
+                "swap_law": law, "weight": _weights(items)}
 
 
 class DCLBackboneCollate:
@@ -142,7 +152,7 @@ class DCLBackboneCollate:
     def __call__(self, items):
         imgs = np.stack([_normalize(it["img"]) for it in items]).astype(np.float32)
         labels = np.asarray([int(it["label"]) for it in items], np.int64)
-        return {"img": imgs, "label": labels}
+        return {"img": imgs, "label": labels, "weight": _weights(items)}
 
 
 class DCLTestCollate:
@@ -151,7 +161,7 @@ class DCLTestCollate:
     def __call__(self, items):
         imgs = np.stack([_normalize(it["img"]) for it in items]).astype(np.float32)
         labels = np.asarray([int(it["label"]) for it in items], np.int64)
-        return {"img": imgs, "label": labels}
+        return {"img": imgs, "label": labels, "weight": _weights(items)}
 
 
 class DCLCommonAug:

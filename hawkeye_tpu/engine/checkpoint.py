@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import queue
 import threading
 
 import jax
@@ -32,32 +33,43 @@ def _to_host(tree):
 # -- async writes -----------------------------------------------------------
 # The device->host transfer is always synchronous (the arrays are immutable
 # snapshots once on host); only serialization + disk IO move off-thread.
-# One in-flight write at a time keeps ordering deterministic.
-_write_lock = threading.Lock()
-_pending: list[threading.Thread] = []
+# A single worker thread draining a FIFO queue guarantees that two saves to
+# the same path land in submission order (a plain lock per write would not:
+# Python lock wakeup order is unspecified, so a newer best_model write could
+# be overtaken by an older one still queued).
+_tasks: queue.Queue = queue.Queue()
+_worker_guard = threading.Lock()
+_worker: threading.Thread | None = None
+
+
+def _worker_loop():
+    while True:
+        fn = _tasks.get()
+        try:
+            fn()
+        except Exception:
+            import traceback
+
+            traceback.print_exc()
+        finally:
+            _tasks.task_done()
 
 
 def _write_async(fn):
-    def run():
-        with _write_lock:
-            try:
-                fn()
-            except Exception:
-                import traceback
-
-                traceback.print_exc()
-
-    t = threading.Thread(target=run, daemon=True)
-    _pending.append(t)
-    t.start()
-    return t
+    global _worker
+    with _worker_guard:
+        if _worker is None or not _worker.is_alive():
+            _worker = threading.Thread(target=_worker_loop, daemon=True)
+            _worker.start()
+    _tasks.put(fn)
 
 
 def wait_for_pending_writes():
     """Block until every async checkpoint write has hit disk (call before
-    reading a just-saved file or at teardown)."""
-    while _pending:
-        _pending.pop().join()
+    reading a just-saved file, at teardown, and on the emergency-save path —
+    the worker is a daemon thread, so process exit without this call can
+    drop queued writes)."""
+    _tasks.join()
 
 
 def save_model(path, variables, async_write=False):

@@ -62,15 +62,35 @@ def emergency_save(func):
             return func(self)
         except KeyboardInterrupt:
             self.logger.info("KeyboardInterrupt - saving emergency checkpoint ...")
-            self.save_checkpoint()
+            self.save_checkpoint(sync=True)
+            ckpt.wait_for_pending_writes()  # flush queued async saves pre-exit
         except Exception as e:  # noqa: BLE001
             self.logger.error(repr(e))
             self.logger.error(traceback.format_exc())
             self.logger.info("saving emergency checkpoint ...")
-            self.save_checkpoint()
+            self.save_checkpoint(sync=True)
+            ckpt.wait_for_pending_writes()
             raise
 
     return _wrapped
+
+
+def pad_target(n, *, train, batch_size, n_devices, process_count=1):
+    """Rows to pad a PER-PROCESS batch slice up to.
+
+    Under multi-host, each process holds 1/P of the global batch
+    (ProcessShardedBatchSampler yields equal-sized slices), so targets are
+    per-process: round up to the LOCAL device multiple
+    (``n_devices/process_count``), and size the stable eval shape at
+    ``batch_size/P`` — not ``batch_size``, else every process would pad its
+    slice to the full global size and the assembled batch would be P× too
+    large. Train batches are fixed-size already (drop_last / balanced
+    samplers); they only pad up to the device multiple."""
+    local_devices = max(1, n_devices // max(process_count, 1))
+    if train:
+        return -((-n) // local_devices) * local_devices
+    local_bs = -(-batch_size // max(process_count, 1))
+    return -((-max(local_bs, n)) // local_devices) * local_devices
 
 
 class TrainState(struct.PyTreeNode):
@@ -510,14 +530,9 @@ class Trainer:
         compiles exactly once; pad rows carry weight 0.
         """
         n = batch["label"].shape[0]
-        if train:
-            # train batches are fixed-size (drop_last / balanced samplers):
-            # pad only up to the device multiple
-            target = -((-n) // self.n_devices) * self.n_devices
-        else:
-            # one stable eval shape across all batches incl. the tail
-            bs = int(self.config.dataset.batch_size)
-            target = -((-max(bs, n)) // self.n_devices) * self.n_devices
+        target = pad_target(
+            n, train=train, batch_size=int(self.config.dataset.batch_size),
+            n_devices=self.n_devices, process_count=jax.process_count())
         pad = target - n
         # respect pre-existing per-row weights (multi-host padding rows
         # arrive already weighted 0 by PaddingAwareDataset)
@@ -734,7 +749,10 @@ class Trainer:
         ckpt.save_model(path, self.model_variables(),
                         async_write=self._async_ckpt)
 
-    def save_checkpoint(self, path=None):
+    def save_checkpoint(self, path=None, sync=False):
+        """``sync=True`` forces a synchronous write even under
+        ``train.async_checkpoint`` (the emergency-save path uses it: a
+        daemon writer thread dies with the process)."""
         path = path or os.path.join(
             self.log_root, f"checkpoint_epoch_{self.epoch}.msgpack"
         )
@@ -745,7 +763,7 @@ class Trainer:
             opt_state=self.state.opt_state,
             scheduler_state=self.scheduler.state_dict(),
             extra={"step": int(self.state.step)},
-            async_write=self._async_ckpt,
+            async_write=self._async_ckpt and not sync,
         )
         self.logger.info(f"checkpoint saved: {path}")
 

@@ -123,3 +123,28 @@ def test_async_checkpoint_roundtrip(tmp_path):
                                   np.arange(6.0).reshape(2, 3))
     np.testing.assert_array_equal(
         np.asarray(loaded["tree_leaves"]["dist_params"]), np.ones((4, 2)))
+
+
+def test_async_writes_to_same_path_land_in_submission_order(tmp_path):
+    """FIFO worker: a newer save queued behind an older slow one must win
+    (a per-write lock would let wakeup order decide)."""
+    import time
+
+    from hawkeye_tpu.engine import checkpoint as ckpt
+
+    path = str(tmp_path / "best.bin")
+    order = []
+
+    def make_write(tag, delay):
+        def write():
+            time.sleep(delay)
+            with open(path, "w") as f:
+                f.write(tag)
+            order.append(tag)
+        return write
+
+    for i in range(8):
+        ckpt._write_async(make_write(f"v{i}", 0.02 if i % 2 == 0 else 0.0))
+    ckpt.wait_for_pending_writes()
+    assert order == [f"v{i}" for i in range(8)]
+    assert open(path).read() == "v7"

@@ -47,3 +47,26 @@ def test_crash_writes_emergency_checkpoint(tmp_path):
     cfg2.freeze()
     t2 = Trainer(cfg2)
     t2.train()  # completes
+
+
+def test_emergency_save_is_synchronous_under_async_checkpoint(tmp_path):
+    """With train.async_checkpoint: true a crash must still leave a complete
+    checkpoint on disk: the emergency path forces a sync write + drains the
+    queue (a daemon writer thread dies with the process)."""
+    raw = _cfg(tmp_path).to_dict()
+    raw["train"]["async_checkpoint"] = True
+    cfg = ConfigNode(raw)
+    cfg.freeze()
+    trainer = ExplodingTrainer(cfg)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        trainer.train()
+    # no join here on purpose: the file must already be fully on disk
+    ckpts = glob.glob(os.path.join(trainer.log_root, "checkpoint_epoch_*.msgpack"))
+    ckpts = [c for c in ckpts if not c.endswith(".tmp")]
+    assert ckpts, "emergency checkpoint missing"
+    from hawkeye_tpu.engine import checkpoint as ckpt
+
+    epoch, variables, _, _, _ = ckpt.load_checkpoint(
+        ckpts[0], variables_like=trainer.model_variables(),
+        opt_state_like=trainer.state.opt_state)
+    assert variables["params"]

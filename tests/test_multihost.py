@@ -105,3 +105,52 @@ def test_trainer_simulated_two_processes(tmp_path):
     # and one train step runs end-to-end on the local slice
     m0 = t0.validate()
     assert "acc" in m0
+
+
+def test_pad_target_is_per_process():
+    """Eval pad target is the per-process share of the batch (padding each
+    local slice to the GLOBAL batch size would inflate the assembled batch
+    by process_count x), rounded to the LOCAL device multiple."""
+    from hawkeye_tpu.engine.trainer import pad_target
+
+    # single host: unchanged semantics
+    assert pad_target(5, train=True, batch_size=32, n_devices=8) == 8
+    assert pad_target(3, train=False, batch_size=32, n_devices=8) == 32
+    # 16 hosts x 1 chip, global bs 256: local eval slice pads to 16, not 256
+    assert pad_target(16, train=False, batch_size=256, n_devices=16,
+                      process_count=16) == 16
+    assert pad_target(7, train=False, batch_size=256, n_devices=16,
+                      process_count=16) == 16
+    # 4 hosts x 8 chips, global bs 64: local 16 rows already an 8-multiple —
+    # no padding (the old global-devices rounding would have padded to 32,
+    # duplicating rows into BatchNorm statistics)
+    assert pad_target(16, train=True, batch_size=64, n_devices=32,
+                      process_count=4) == 16
+    # tail rounding still goes to the local device multiple
+    assert pad_target(13, train=True, batch_size=64, n_devices=32,
+                      process_count=4) == 16
+
+
+def test_dcl_collates_preserve_padding_weights():
+    """DCL collates must carry PaddingAwareDataset's weight-0 marks through
+    (a padded val-tail row must not count twice in accuracy)."""
+    import numpy as np
+
+    from hawkeye_tpu.data.dcl import (DCLBackboneCollate, DCLTestCollate,
+                                      DCLTrainCollate, DCLValCollate)
+
+    items = [
+        {"img": np.zeros((56, 56, 3), np.uint8), "label": 1,
+         "weight": np.float32(1.0)},
+        {"img": np.zeros((56, 56, 3), np.uint8), "label": 1,
+         "weight": np.float32(0.0)},  # multi-host padding row
+    ]
+    train = DCLTrainCollate(grid=7)(items)
+    np.testing.assert_array_equal(train["weight"], [1, 0, 1, 0])  # 2x batch
+    for collate in (DCLValCollate(grid=7), DCLBackboneCollate(),
+                    DCLTestCollate()):
+        out = collate(items)
+        np.testing.assert_array_equal(out["weight"], [1, 0])
+    # items without the key default to weight 1
+    plain = [{"img": np.zeros((56, 56, 3), np.uint8), "label": 0}]
+    np.testing.assert_array_equal(DCLValCollate(grid=7)(plain)["weight"], [1])
