@@ -87,12 +87,14 @@ def run_one(method, steps, warmup, batch_size=None):
 
     import hawkeye_tpu.models  # noqa: F401  (populate the registry)
 
+    t_start = time.perf_counter()
     config_path, module_name, cls_name = CASES[method]
     cfg = _bench_config(config_path, batch_size)
     trainer_cls = getattr(importlib.import_module(module_name), cls_name)
     trainer = trainer_cls(cfg)
     trainer.epoch = 0
     trainer.on_start_epoch()
+    t_build = time.perf_counter() - t_start
 
     batch = next(iter(trainer.dataloaders["train"]))
     device_batch = trainer.prepare_batch(batch, train=True)
@@ -108,8 +110,13 @@ def run_one(method, steps, warmup, batch_size=None):
     def lr_i(i):
         return jnp.asarray(lr0 * (1.0 + 1e-6 * (i % 97)), jnp.float32)
 
-    metrics = None
-    for i in range(warmup):
+    t0 = time.perf_counter()
+    trainer.state, metrics = trainer.train_step_call(device_batch, lr_i(0))
+    float(metrics["loss"])
+    t_compile = time.perf_counter() - t0
+    print(f"[{method}] build {t_build:.1f}s, first step (compile) "
+          f"{t_compile:.1f}s", file=sys.stderr, flush=True)
+    for i in range(1, warmup):
         trainer.state, metrics = trainer.train_step_call(device_batch, lr_i(i))
     warm_loss = float(metrics["loss"])
     t0 = time.perf_counter()
@@ -140,8 +147,10 @@ def main():
     parser.add_argument("--warmup", type=int, default=4)
     parser.add_argument("--batch-size", type=int, default=None,
                         help="override the config batch size")
-    parser.add_argument("--timeout", type=int, default=900,
-                        help="per-method subprocess timeout (matrix mode)")
+    parser.add_argument("--timeout", type=int, default=2400,
+                        help="per-method subprocess timeout (matrix mode); "
+                        "remote compile alone can take >500s for the heavy "
+                        "region methods (CIN: build 165s + compile 348s)")
     args = parser.parse_args()
 
     if args.method:

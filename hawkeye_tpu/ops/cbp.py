@@ -10,16 +10,23 @@ TPU design deltas:
 - The sketch Ψ(x) = s ⊙ scatter_h(x) is materialized as a dense [C, d]
   matrix (the reference builds the same dense matrix,
   ``CBCNN.py:137-164``) so the projection is an MXU matmul.
-- rfft/irfft over the last (d) axis batched over B·H·W — XLA lowers these
-  to its TPU FFT; d defaults to 6000 per ``configs/CBCNN_S1.yaml``.
-- The product-of-ffts runs per spatial position, then sum-pools, matching
-  the reference order (sum of products, not product of sums).
+- The rFFT is folded into the sketch projection: since the sketch matrices
+  are fixed, ``rfft(x @ S) == x @ rfft(S)`` — precomputing ``rfft(S)``
+  [C, d//2+1] turns the per-position length-d FFT over B·H·W rows (the
+  dominant cost of the naive transcription; TPU FFTs are slow) into two
+  MXU matmuls per branch (real and imaginary parts).
+- The spatial sum-pool moves BEFORE the inverse transform (the irfft is
+  linear), so only one length-d irfft per IMAGE remains instead of one per
+  position. The math is identical to the reference order (sum of per-
+  position products: the product is still taken per position, only the
+  inverse transform of the pooled spectrum is shared).
 """
 
 from __future__ import annotations
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 
@@ -45,14 +52,16 @@ def compact_bilinear_pool(features, sketch1, sketch2, *, signed_sqrt=True,
     """
     b, h, w, c = features.shape
     d = sketch1.shape[1]
-    x = features.reshape(b * h * w, c).astype(jnp.float32)
-    p1 = x @ sketch1  # [BHW, d]  (MXU)
-    p2 = x @ sketch2
-    f1 = jnp.fft.rfft(p1, axis=-1)
-    f2 = jnp.fft.rfft(p2, axis=-1)
-    prod = f1 * f2
-    cbp = jnp.fft.irfft(prod, n=d, axis=-1)  # [BHW, d]
-    v = cbp.reshape(b, h * w, d).sum(axis=1)  # sum-pool over positions
+    x = features.reshape(b, h * w, c).astype(jnp.float32)
+    # rfft of the FIXED sketches (constant-folded under jit): [C, d//2+1]
+    fs1 = jnp.fft.rfft(sketch1.astype(jnp.float32), axis=-1)
+    fs2 = jnp.fft.rfft(sketch2.astype(jnp.float32), axis=-1)
+    f1r, f1i = x @ fs1.real, x @ fs1.imag  # [B, HW, K]  (MXU)
+    f2r, f2i = x @ fs2.real, x @ fs2.imag
+    # per-position complex product, sum-pooled over positions
+    sr = (f1r * f2r - f1i * f2i).sum(axis=1)  # [B, K]
+    si = (f1r * f2i + f1i * f2r).sum(axis=1)
+    v = jnp.fft.irfft(jax.lax.complex(sr, si), n=d, axis=-1)  # [B, d]
     if signed_sqrt:
         v = jnp.sign(v) * jnp.sqrt(jnp.abs(v) + eps)
     if l2_normalize:
