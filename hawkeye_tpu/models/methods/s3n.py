@@ -47,8 +47,8 @@ def saliency_from_peaks(score_map, mask, theta, base, weight_by="score"):
     """
     b, g, _ = score_map.shape
     ii = jnp.arange(g, dtype=jnp.float32)
-    # pairwise squared distances between all grid positions: [G,G,G,G]
-    dy = (ii[:, None] - ii[None, :]) ** 2  # [G, G] (row dist²)
+    # pairwise squared distances between all grid positions: [G, G]
+    dy = (ii[:, None] - ii[None, :]) ** 2  # (row dist²)
     dx = dy
     # kernel for peak at (py,px) evaluated at (iy,ix):
     #   exp(-((iy-py)² + (ix-px)²) / (2 (θ·G)²))
@@ -58,12 +58,20 @@ def saliency_from_peaks(score_map, mask, theta, base, weight_by="score"):
     else:
         w = 1.0 / jnp.maximum(score_map, 1e-6)
     w = w * mask.astype(score_map.dtype)
-    # contribution[b, iy, ix] = Σ_{py,px} w[b,py,px] exp(-(dy[iy,py]+dx[ix,px]) / (2 pow2[b,py,px]))
-    inv2p = 1.0 / (2.0 * pow2)  # [B, G, G]
-    expo = jnp.exp(
-        -(dy[None, :, None, :, None] + dx[None, None, :, None, :])
-        * inv2p[:, None, None, :, :])  # [B, iy, ix, py, px]
-    sal = jnp.einsum("bijpq,bpq->bij", expo, w)
+    # contribution[b,iy,ix] = Σ_{py,px} w[b,py,px]
+    #                          · exp(-(dy[iy,py]+dx[ix,px]) · inv2p[b,py,px]).
+    # The exp FACTORS over the two axes — exp(-(a+b)c) = exp(-ac)·exp(-bc) —
+    # so instead of materializing the [B, G, G, G, G] tensor (whose 31-wide
+    # minor dims pad to full lanes and whose broadcast-backward was 30 ms/
+    # step at 23 GB/s), build the two factor tensors [B, G, G·G] and contract
+    # on the MXU as a batched matmul over the flattened peak axis.
+    inv2p = (1.0 / (2.0 * pow2)).reshape(b, 1, g * g)  # [B, 1, PQ]
+    # Ey[b, iy, (py,px)] = exp(-dy[iy,py] · inv2p[b,py,px])
+    ey = jnp.exp(-jnp.repeat(dy, g, axis=1).reshape(1, g, g * g) * inv2p)
+    # Ex[b, ix, (py,px)] = exp(-dx[ix,px] · inv2p[b,py,px]), weighted by w
+    ex = jnp.exp(-jnp.tile(dx, (1, g)).reshape(1, g, g * g) * inv2p)
+    ex = ex * w.reshape(b, 1, g * g)
+    sal = jnp.einsum("bip,bjp->bij", ey, ex)  # [B, G, G] (MXU)
     return base + sal
 
 
@@ -112,12 +120,25 @@ class S3N(nn.Module):
             lambda key: jnp.asarray(_gaussian_2d(k, 13.0)[..., None, None]))
 
     def _blur(self, x):
-        """x: [B, G+2P, G+2P] → valid conv with the 61×61 filter → [B, G, G]."""
-        out = jax.lax.conv_general_dilated(
-            x[..., None], self.blur_kernel.astype(x.dtype),
-            window_strides=(1, 1), padding="VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        return out[..., 0]
+        """x: [B, G+2P, G+2P] → valid conv with the 61×61 filter → [B, G, G].
+
+        A 1-in/1-out-channel conv runs at ~0.1 TF/s on the TPU conv path
+        (nothing to put on the MXU lanes), costing ~10 ms/step across the six
+        blur calls. Reformulated as an einsum over vertically-unfolded input
+        rows against a Toeplitz expansion of the (trainable) kernel — a
+        [G², K·(G+2P)]×[K·(G+2P), G]-shaped batched contraction the MXU
+        eats. Identical math: out[b,i,j] = Σ_{r,c} x[b,i+r,j+c] K[r,c]."""
+        k = self.blur_kernel[..., 0, 0]                       # [K, K]
+        ksz = k.shape[0]
+        g = self.grid_size
+        wpad = x.shape[2]                                     # G + 2P
+        # vertical unfold: rows[b, i, r, :] = x[b, i+r, :]  → [B, G, K, W]
+        rows = jnp.stack([x[:, r:r + g, :] for r in range(ksz)], axis=2)
+        # Toeplitz kernel: T[r, w, j] = K[r, w-j] for 0 <= w-j < K
+        wj = jnp.arange(wpad)[:, None] - jnp.arange(g)[None, :]  # [W, G]
+        valid = (wj >= 0) & (wj < ksz)
+        t = jnp.where(valid, k[:, jnp.clip(wj, 0, ksz - 1)], 0.0)  # [K, W, G]
+        return jnp.einsum("birw,rwj->bij", rows.astype(k.dtype), t)
 
     def _create_grid(self, sal):
         """Saliency [B, G, G] → pixel-space sampling grid [B, S, S, 2].
@@ -209,8 +230,14 @@ class S3N(nn.Module):
 
         grid_zoom = self._create_grid(sal_zoom)
         grid_inv = self._create_grid(sal_inv)
-        x_zoom = grid_sample_bilinear(x, grid_zoom)
-        x_inv = grid_sample_bilinear(x, grid_inv)
+        # warp in the compute dtype (bf16 on TPU, f32 under the CPU parity
+        # tests): the 4-tap tensor is [B, 12, S²] — halving its bytes halves
+        # the warp's forward+backward fusions, and the backbone consumes the
+        # result in this dtype anyway (saves a 13 ms/step layout-hostile
+        # convert at 448²)
+        x_src = x.astype(self.dtype)
+        x_zoom = grid_sample_bilinear(x_src, grid_zoom)
+        x_inv = grid_sample_bilinear(x_src, grid_inv)
 
         feat_d = self.sampler_buffer(self.backbone(x_zoom, train=train)["c5"],
                                      train)

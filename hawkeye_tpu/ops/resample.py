@@ -157,29 +157,49 @@ def grid_sample_bilinear(images, grid):
     coords to pixels (reference S3N usage, ``model/methods/S3N.py:283-288``).
     """
     b, h, w, c = images.shape
+    out_sp = grid.shape[1:-1]
     y = grid[..., 0]
     x = grid[..., 1]
     y0 = jnp.floor(y)
     x0 = jnp.floor(x)
-    wy1 = y - y0
-    wx1 = x - x0
+    wy1 = (y - y0)[..., None].astype(images.dtype)
+    wx1 = (x - x0)[..., None].astype(images.dtype)
 
-    def tap(yi, xi):
-        valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
-        yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
-        xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
-        vals = jax.vmap(lambda img, yy, xx: img[yy, xx])(images, yc, xc)
-        return vals * valid[..., None].astype(images.dtype)
-
-    v00 = tap(y0, x0)
-    v01 = tap(y0, x0 + 1)
-    v10 = tap(y0 + 1, x0)
-    v11 = tap(y0 + 1, x0 + 1)
-    wy1 = wy1[..., None].astype(images.dtype)
-    wx1 = wx1[..., None].astype(images.dtype)
+    # TPU gathers are latency-bound on the INDEX COUNT, not bytes: the naive
+    # four per-pixel taps compile to a ~6 GB/s gather fusion that dominated
+    # the S3N step (59% of 180 ms). Packing the 2×2 neighborhood into the
+    # channel axis of a zero-padded copy turns them into ONE flat-index
+    # take_along_axis per output pixel (4× fewer indices, wider slices) —
+    # measured 7.1× faster at S3N shapes (113 → 16 ms per 8×448² warp pair),
+    # bit-exact vs the 4-tap formulation. Zero-padding reproduces the
+    # per-tap 'zeros' boundary semantics: a tap at row -1 or h reads the
+    # pad ring; samples further out are masked entirely below.
+    # Tensors are kept with the LARGE axis minor throughout: a [B, N, 4C]
+    # gather operand/output has its 12-wide minor dim padded to full 128
+    # lanes by XLA's layout assignment (~10× wasted bytes on every touch,
+    # measured as 15–25 GB/s effective on the S3N profile), while the
+    # [B, 4C, N] plane form tiles cleanly (N in lanes, 4C in sublanes).
+    xp = jnp.pad(images, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    packed = jnp.concatenate(
+        [xp[:, :-1, :-1], xp[:, :-1, 1:], xp[:, 1:, :-1], xp[:, 1:, 1:]],
+        axis=-1).reshape(b, (h + 1) * (w + 1), 4 * c)
+    packed = packed.transpose(0, 2, 1)  # [B, 4C, N], N minor
+    iy = jnp.clip(y0 + 1, 0, h).astype(jnp.int32)
+    ix = jnp.clip(x0 + 1, 0, w).astype(jnp.int32)
+    flat = (iy * (w + 1) + ix).reshape(b, 1, -1)  # [B, 1, O]
+    # indices are clipped above — promise_in_bounds skips the gather's
+    # fill-value select pass (~10 ms/step in the S3N profile)
+    v = jnp.take_along_axis(packed, flat, axis=2,
+                            mode="promise_in_bounds")  # [B, 4C, O]
+    wy1 = wy1.reshape(b, 1, -1).astype(images.dtype)  # [B, 1, O]
+    wx1 = wx1.reshape(b, 1, -1).astype(images.dtype)
+    ok = ((y0 >= -1) & (y0 <= h - 1) & (x0 >= -1)
+          & (x0 <= w - 1)).reshape(b, 1, -1).astype(images.dtype)
+    v00, v01, v10, v11 = jnp.split(v, 4, axis=1)      # [B, C, O] each
     top = v00 * (1 - wx1) + v01 * wx1
     bot = v10 * (1 - wx1) + v11 * wx1
-    return top * (1 - wy1) + bot * wy1
+    out = (top * (1 - wy1) + bot * wy1) * ok          # [B, C, O]
+    return out.transpose(0, 2, 1).reshape(b, *out_sp, c)
 
 
 def resize_nearest(images, out_h: int, out_w: int):
