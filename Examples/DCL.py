@@ -39,8 +39,14 @@ class DCLTrainer(Trainer):
             return super().get_transformers(transformer_config)
         resize = int(transformer_config.get("resize_size", 512))
         crop = int(transformer_config.get("image_size", 448))
+        # optional knobs (defaults = reference common_aug): rotate degrees,
+        # and rrc: false for deterministic eval-style geometry (used by the
+        # synthetic overfit probe; jigsaw destruction still applies)
+        rotate = float(transformer_config.get("rotate", 15))
+        stochastic = bool(transformer_config.get("rrc", True))
         return {
-            "train": DCLCommonAug(resize, crop, rotate=15, train=True),
+            "train": DCLCommonAug(resize, crop, rotate=rotate,
+                                  train=stochastic),
             "val": DCLCommonAug(resize, crop, train=False),
         }
 

@@ -245,16 +245,25 @@ class TrainPreset:
 
     def __init__(self, crop_size: int, auto_augment_policy: str | None = "ta_wide",
                  random_erase_prob: float = 0.1, hflip_prob: float = 0.5,
-                 mean=IMAGENET_MEAN, std=IMAGENET_STD, ra_magnitude=9):
+                 mean=IMAGENET_MEAN, std=IMAGENET_STD, ra_magnitude=9,
+                 random_resized_crop: bool = True, resize_size: int | None = None):
         self.crop_size = crop_size
         self.policy = auto_augment_policy
         self.erase_prob = random_erase_prob
         self.hflip_prob = hflip_prob
         self.mean, self.std = mean, std
         self.ra_magnitude = ra_magnitude
+        self.rrc = random_resized_crop
+        self.resize_size = resize_size or crop_size * 8 // 7
 
     def __call__(self, img: Image.Image) -> np.ndarray:
-        img = random_resized_crop(img, self.crop_size)
+        if self.rrc:
+            img = random_resized_crop(img, self.crop_size)
+        else:
+            # deterministic geometry (rrc: false): eval-style resize+center
+            # crop, for pipelines that must see a fixed view per sample
+            img = resize_shorter(img, self.resize_size)
+            img = center_crop(img, self.crop_size)
         if random.random() < self.hflip_prob:
             img = img.transpose(Image.FLIP_LEFT_RIGHT)
         if self.policy == "ta_wide":
@@ -300,7 +309,10 @@ def build_transforms(transformer_config):
     resize_size = transformer_config.get("resize_size", image_size * 8 // 7)
     policy = transformer_config.get("auto_augment", "ta_wide")
     erase = transformer_config.get("random_erase", 0.1)
-    train_t = TrainPreset(image_size, auto_augment_policy=policy,
-                          random_erase_prob=erase)
+    train_t = TrainPreset(
+        image_size, auto_augment_policy=policy, random_erase_prob=erase,
+        hflip_prob=transformer_config.get("hflip", 0.5),
+        random_resized_crop=transformer_config.get("rrc", True),
+        resize_size=resize_size)
     eval_t = EvalPreset(image_size, resize_size)
     return train_t, eval_t

@@ -35,6 +35,33 @@ BUDGETS = {
     "ProtoTreeNet": (30, 60),
     # two heads at different grains; average logits converge slower
     "MGE_CNN": (35, 70),
+    # S1 = linear probe on a FROZEN random backbone's L2-normalized bilinear
+    # features — partially separable at best (peaks ~87 in tuning runs)
+    "BCNN": (25, 70),
+    # MAMC n-pairs shapes the embedding against pure memorization
+    "OSMENet": (25, 80),
+    # Beta-prior shaping loss fights confident part assignments on noise
+    "InterpPartsNet": (25, 70),
+    # train acc counts the 2× batch incl. freshly-jigsawed swapped copies
+    "DCL": (25, 70),
+}
+
+# Probe-only optimizer/backbone substitutions. The recipes' own SGD LRs are
+# tuned for pretrained backbones on real data; on 32 random-noise images
+# several methods need (a) an adaptive optimizer (bilinear/L2-normalized
+# features give CE gradients orders of magnitude off SGD's useful range)
+# and (b) a BN'd VGG — a scratch PLAIN VGG collapses to a constant
+# descriptor on noise (loss freezes at the label entropy ≈1.37, acc =
+# majority class; verified by direct probing, not a gradient bug).
+PROBES = {
+    "BCNN": {"optimizer": {"name": "Adam", "lr": 3e-3}, "backbone": "vgg11_bn"},
+    "CBCNN": {"optimizer": {"name": "Adam", "lr": 3e-3}, "backbone": "vgg11_bn"},
+    "OSMENet": {"optimizer": {"name": "Adam", "lr": 3e-3}},
+    # 3e-3 diverges for CIN's SCI/CCI stack; 1e-3 reaches 100%
+    "CIN": {"optimizer": {"name": "Adam", "lr": 1e-3}},
+    "CrossX": {"optimizer": {"name": "Adam", "lr": 3e-3}},
+    "InterpPartsNet": {"optimizer": {"name": "Adam", "lr": 3e-3}},
+    "DCL": {"optimizer": {"name": "Adam", "lr": 3e-3}},
 }
 
 
@@ -50,20 +77,34 @@ def test_method_overfits_synthetic(case, tmp_path):
     kw.setdefault("batch_size", 8)
     # a fixed healthy LR for the overfit probe (recipes' own LRs are tuned
     # for real data scales); keep per-case optimizers that carry extra keys
-    opt = kw.get("optimizer") or {"name": "SGD", "lr": 0.01, "momentum": 0.9}
-    opt = {**opt, "lr": max(float(opt.get("lr", 0.01)), 0.01)}
+    probe = PROBES.get(name, {})
+    opt = probe.get("optimizer") or kw.get("optimizer") or {
+        "name": "SGD", "lr": 0.01, "momentum": 0.9}
+    opt = {**opt, "lr": max(float(opt.get("lr", 0.01)), 0.001)}
     kw["optimizer"] = opt
+    if "backbone" in probe:
+        model = {**model, "backbone": probe["backbone"]}
     cfg = tiny_config(tmp_path, name, model, criterion, **kw)
     cfg.defrost()
     cfg.train.epoch = epochs
     if "T_max" in cfg.train.scheduler:
         cfg.train.scheduler.T_max = epochs
+    # deterministic train views: the probe images are random NOISE, so any
+    # stochastic geometry (random-resized crop / flip / TA ops) shows each
+    # epoch a different, featureless view and memorization cannot happen —
+    # the probe must overfit FIXED views (trainers with their own pipelines,
+    # e.g. DCL's common-aug, keep their randomness and carry lower bars)
+    cfg.dataset.transformer.rrc = False
+    cfg.dataset.transformer.hflip = 0.0
+    cfg.dataset.transformer.auto_augment = "none"
+    cfg.dataset.transformer.random_erase = 0.0
     cfg.freeze()
 
     trainer = trainer_cls(cfg)
     best = 0.0
     for epoch in range(epochs):
         trainer.epoch = epoch
+        trainer.on_start_epoch()  # trainer.train()'s per-epoch contract
         metrics = trainer.train_epoch(trainer.scheduler.epoch_lr(epoch))
         best = max(best, metrics["acc"])
         if best >= bar:
