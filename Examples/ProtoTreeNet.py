@@ -71,22 +71,29 @@ class ProtoTreeTrainer(Trainer):
 
         return train_step
 
-    def on_start_epoch(self):
-        # snapshot leaf params for the running-average replacement; lives in
-        # the epoch-start hook (not train_epoch) so any caller that drives
-        # steps directly after on_start_epoch — e.g. bench_methods.py — gets
-        # valid step inputs
+    def _refresh_step_inputs(self):
+        """Snapshot leaf params for the running-average replacement and set
+        the backbone-freeze gate for the current epoch."""
         import jax.numpy as jnp
         import numpy as np
 
-        super().on_start_epoch()
         old = np.asarray(self.state.extra_vars["tree_leaves"]["dist_params"])
         num_batches = max(len(self.dataloaders["train"]), 1)
         self._old_leaf_over_batches = jnp.asarray(old / num_batches)
         self._backbone_on = jnp.asarray(
             0.0 if self.epoch < self.FREEZE_EPOCHS else 1.0, jnp.float32)
+        self._step_inputs_epoch = self.epoch
+
+    def on_start_epoch(self):
+        super().on_start_epoch()
+        self._refresh_step_inputs()
 
     def train_step_call(self, batch, lr):
+        # self-enforcing contract: callers that drive train_epoch()/steps
+        # directly without the epoch-start hook (round-2 regression:
+        # __graft_entry__.dryrun_multichip) still get valid step inputs
+        if getattr(self, "_step_inputs_epoch", None) != self.epoch:
+            self._refresh_step_inputs()
         return self._train_step(self.state, batch, lr,
                                 self._old_leaf_over_batches, self._backbone_on)
 
