@@ -85,8 +85,9 @@ class ProtoTreeNet(nn.Module):
     backbone_name: str = "resnet50"
     dtype: Any = jnp.bfloat16
     # inference strategy when the caller doesn't pass `sampling` explicitly:
-    # 'distributed' (soft path mixture) or 'sample_max' (argmax leaf) —
-    # reference ProtoTree --sampling_strategy; exposed as `model.sampling`
+    # 'distributed' (soft path mixture), 'sample_max' (argmax-path leaf) or
+    # 'greedy' (root-to-leaf argmax walk) — reference ProtoTree
+    # --sampling_strategy (prototree.py:21,148-199); exposed as `model.sampling`
     eval_sampling: str = "distributed"
 
     @property
@@ -131,6 +132,19 @@ class ProtoTreeNet(nn.Module):
         if sampling == "sample_max":
             best = jnp.argmax(pa_leaf, axis=1)
             pred = dist[best]
+        elif sampling == "greedy":
+            # root-to-leaf greedy walk (reference prototree.py:173-199): at
+            # each branch take the right child iff p_right > 0.5. The heap is
+            # level-order, so child indices are 2i+1 / 2i+2 and the walked-to
+            # leaf slot is node − (2^h − 1).
+            node = jnp.zeros((pa_leaf.shape[0],), jnp.int32)
+            for _ in range(self.height):
+                p_right = jnp.take_along_axis(
+                    similarities, node[:, None], axis=1)[:, 0]
+                node = 2 * node + 1 + (p_right > 0.5).astype(jnp.int32)
+            pred = dist[node - self.num_branches]
+        elif sampling != "distributed":
+            raise ValueError(f"unknown sampling strategy: {sampling!r}")
 
         log_pred = jnp.log(jnp.maximum(pred, 1e-12))
         return {

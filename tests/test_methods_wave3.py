@@ -109,3 +109,29 @@ def test_prototree_forward_and_leaf_update():
 
     loss = crit("ProtoTreeLoss")(out, {"label": labels})
     assert np.isfinite(float(loss))
+
+
+def test_prototree_sampling_strategies():
+    """All three inference strategies (reference prototree.py:21) run under
+    jit; greedy/sample_max return a single leaf's distribution."""
+    model = MODEL.get("ProtoTreeNet")(ConfigNode({
+        "num_classes": 4, "height": 3, "num_features": 16,
+        "backbone": {"name": "resnet18"}}))
+    x = jnp.asarray(np.random.RandomState(1).rand(3, 32, 32, 3), jnp.float32)
+    v = model.init(jax.random.PRNGKey(0), x, train=True)
+    # non-trivial leaf distributions so strategies can differ
+    v = dict(v)
+    v["tree_leaves"] = {"dist_params": jnp.asarray(
+        np.random.RandomState(2).randn(8, 4), jnp.float32)}
+    outs = {s: jax.jit(lambda v, x, s=s: model.apply(v, x, train=False,
+                                                     sampling=s))(v, x)
+            for s in ("distributed", "sample_max", "greedy")}
+    leaf_dist = np.asarray(outs["greedy"]["leaf_dist"])
+    for s in ("sample_max", "greedy"):
+        pred = np.asarray(outs[s]["pred"])
+        np.testing.assert_allclose(pred.sum(-1), 1.0, rtol=1e-5)
+        # each row must be exactly one leaf's distribution
+        for row in pred:
+            assert np.abs(leaf_dist - row).sum(-1).min() < 1e-6
+    np.testing.assert_allclose(
+        np.asarray(outs["distributed"]["pred"].sum(-1)), 1.0, rtol=1e-4)

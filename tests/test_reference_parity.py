@@ -687,6 +687,8 @@ def test_prototree_seam_parity():
         r_pred, r_info = rtree(dummy, torch.from_numpy(feats))
         r_max, _ = rtree(dummy, torch.from_numpy(feats),
                          sampling_strategy="sample_max")
+        r_greedy, _ = rtree(dummy, torch.from_numpy(feats),
+                            sampling_strategy="greedy")
 
     from hawkeye_tpu.models.methods.prototree import (
         l2_distances,
@@ -706,6 +708,16 @@ def test_prototree_seam_parity():
     best = jnp.argmax(pa, axis=1)
     np.testing.assert_allclose(np.asarray(leaf_dist[best]), r_max.numpy(),
                                rtol=1e-5, atol=1e-6)
+
+    # greedy root-to-leaf walk (reference prototree.py:173-199): right child
+    # iff p_right > 0.5; level-order heap walk must reach the same leaf
+    node = jnp.zeros((3,), jnp.int32)
+    for _ in range(height):
+        p_right = jnp.take_along_axis(sim, node[:, None], axis=1)[:, 0]
+        node = 2 * node + 1 + (p_right > 0.5).astype(jnp.int32)
+    greedy_leaf = node - (2**height - 1)
+    np.testing.assert_allclose(np.asarray(leaf_dist[greedy_leaf]),
+                               r_greedy.numpy(), rtol=1e-5, atol=1e-6)
 
     # derivative-free leaf update parity (Examples/ProtoTreeNet.py:115-131)
     from hawkeye_tpu.losses.prototree import leaf_update
