@@ -65,10 +65,12 @@ class DCLTrainer(Trainer):
         from hawkeye_tpu.data.dcl import make_dcl_device_augment
 
         p = self._dcl_params()
-        size = int(self.config.dataset.transformer.image_size)
-        augment = make_dcl_device_augment(size, rotate=15.0, grid=p["grid"],
-                                          cls_2=p["cls_2"],
-                                          num_classes=p["num_classes"])
+        tcfg = self.config.dataset.transformer
+        size = int(tcfg.image_size)
+        augment = make_dcl_device_augment(
+            size, rotate=float(tcfg.get("rotate", 15)),
+            grid=p["grid"], ran=int(tcfg.get("swap_range", 2)),
+            cls_2=p["cls_2"], num_classes=p["num_classes"])
         return augment(rng, batch)
 
     def device_prepare_eval(self, batch):

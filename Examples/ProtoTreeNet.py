@@ -5,7 +5,6 @@ frozen for the first 30 epochs (grad gating), warmup+cosine schedule."""
 
 import os
 import sys
-from functools import partial
 
 sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
 
@@ -17,14 +16,12 @@ from hawkeye_tpu.losses.prototree import leaf_update
 class ProtoTreeTrainer(Trainer):
     FREEZE_EPOCHS = 30
 
-    def build_train_step(self):
+    def train_step_body(self):
         import jax
-        import jax.numpy as jnp
 
         base_key = jax.random.PRNGKey(self.seed)
         num_classes = int(self.config.model.num_classes)
 
-        @partial(jax.jit, donate_argnums=(0,))
         def train_step(state, batch, lr, old_leaf_over_batches, backbone_on):
             rng = jax.random.fold_in(base_key, state.step)
             if self.pipeline == "device":
@@ -88,14 +85,13 @@ class ProtoTreeTrainer(Trainer):
         super().on_start_epoch()
         self._refresh_step_inputs()
 
-    def train_step_call(self, batch, lr):
+    def step_extras(self):
         # self-enforcing contract: callers that drive train_epoch()/steps
         # directly without the epoch-start hook (round-2 regression:
         # __graft_entry__.dryrun_multichip) still get valid step inputs
         if getattr(self, "_step_inputs_epoch", None) != self.epoch:
             self._refresh_step_inputs()
-        return self._train_step(self.state, batch, lr,
-                                self._old_leaf_over_batches, self._backbone_on)
+        return (self._old_leaf_over_batches, self._backbone_on)
 
 
 if __name__ == "__main__":

@@ -18,6 +18,9 @@ class S3NTrainer(Trainer):
     def __init__(self, config=None):
         self._phase = 0
         super().__init__(config)
+        # Trainer.__init__ built the jitted steps at epoch 0's phase; record
+        # it so the first on_start_epoch doesn't rebuild them identically
+        self._compiled_phase = (self.train_phase(), self.eval_phase())
 
     def get_param_groups(self):
         rules = {
@@ -54,8 +57,7 @@ class S3NTrainer(Trainer):
         # the single p transition (epoch 20). Two compilations per run total.
         phase = (self.train_phase(), self.eval_phase())
         if getattr(self, "_compiled_phase", None) != phase:
-            self._train_step = self.build_train_step()
-            self._eval_step = self.build_eval_step()
+            self.rebuild_jitted_steps()
             self._compiled_phase = phase
 
 

@@ -49,13 +49,15 @@ CASES = {
 }
 
 
-def _bench_config(config_path, batch_size=None):
+def _bench_config(config_path, batch_size=None, block=1):
     import yaml
 
     from hawkeye_tpu.config import ConfigNode
 
     with open(config_path) as f:
         raw = yaml.safe_load(f)
+    if block > 1:
+        raw["train"]["steps_per_dispatch"] = int(block)
     # synthetic data, no weight loading: measure the device program only
     ds = raw["dataset"]
     ds["name"] = "synthetic"
@@ -79,17 +81,18 @@ def _bench_config(config_path, batch_size=None):
     return cfg
 
 
-def run_one(method, steps, warmup, batch_size=None):
+def run_one(method, steps, warmup, batch_size=None, block=1):
     import importlib
 
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     import hawkeye_tpu.models  # noqa: F401  (populate the registry)
 
     t_start = time.perf_counter()
     config_path, module_name, cls_name = CASES[method]
-    cfg = _bench_config(config_path, batch_size)
+    cfg = _bench_config(config_path, batch_size, block)
     trainer_cls = getattr(importlib.import_module(module_name), cls_name)
     trainer = trainer_cls(cfg)
     trainer.epoch = 0
@@ -97,46 +100,70 @@ def run_one(method, steps, warmup, batch_size=None):
     t_build = time.perf_counter() - t_start
 
     batch = next(iter(trainer.dataloaders["train"]))
-    device_batch = trainer.prepare_batch(batch, train=True)
-    n_imgs = int(device_batch["img"].shape[0])
+    host_batch = trainer.pad_batch(batch, train=True)
+    n_imgs = int(host_batch["img"].shape[0])
     lr0 = float(trainer.scheduler.epoch_lr(0)) or 1e-4
 
     # Axon-tunnel measurement rules (see NEXT.md): the remote runtime replays
     # cached step results when a dispatch looks bit-identical to a previous
     # one (chaining donated state is NOT enough), and block_until_ready does
-    # not force remote execution — only a host fetch does. So (a) every step
-    # gets a unique lr input (~1e-6 relative jitter, timing-neutral), and
-    # (b) each segment ends by fetching the loss scalar.
+    # not force remote execution — only a host fetch does. So (a) every
+    # dispatch gets a unique lr input (~1e-6 relative jitter, timing-neutral),
+    # and (b) each segment ends by fetching the loss scalar.
     def lr_i(i):
         return jnp.asarray(lr0 * (1.0 + 1e-6 * (i % 97)), jnp.float32)
 
+    if block > 1:
+        from hawkeye_tpu.parallel import shard_stacked_batch
+
+        stacked = {k: np.stack([v] * block) for k, v in host_batch.items()}
+        device_in = shard_stacked_batch(trainer.mesh, stacked)
+
+        def lrs_i(i):
+            return jnp.asarray(
+                [lr0 * (1.0 + 1e-6 * ((i * block + j) % 97))
+                 for j in range(block)], jnp.float32)
+
+        def dispatch(i):
+            trainer.state, m = trainer.train_block_call(device_in, lrs_i(i))
+            return m
+    else:
+        device_in = trainer.prepare_batch(batch, train=True)
+
+        def dispatch(i):
+            trainer.state, m = trainer.train_step_call(device_in, lr_i(i))
+            return m
+
     t0 = time.perf_counter()
-    trainer.state, metrics = trainer.train_step_call(device_batch, lr_i(0))
-    float(metrics["loss"])
+    metrics = dispatch(0)
+    float(np.sum(metrics["loss"]))
     t_compile = time.perf_counter() - t0
     print(f"[{method}] build {t_build:.1f}s, first step (compile) "
           f"{t_compile:.1f}s", file=sys.stderr, flush=True)
-    for i in range(1, warmup):
-        trainer.state, metrics = trainer.train_step_call(device_batch, lr_i(i))
-    warm_loss = float(metrics["loss"])
+    n_warm = max(1, -(-warmup // block))
+    for i in range(1, n_warm):
+        metrics = dispatch(i)
+    warm_loss = float(np.sum(metrics["loss"]))
+    n_disp = max(1, -(-steps // block))
     t0 = time.perf_counter()
-    for i in range(steps):
-        trainer.state, metrics = trainer.train_step_call(
-            device_batch, lr_i(warmup + i))
-    final_loss = float(metrics["loss"])
+    for i in range(n_disp):
+        metrics = dispatch(n_warm + i)
+    final_loss = float(np.sum(metrics["loss"]))
     dt = time.perf_counter() - t0
     if final_loss == warm_loss:
         raise RuntimeError("loss did not change over the timed steps — "
                            "suspected runtime replay; measurement invalid")
 
     tr = cfg.dataset.transformer
+    n_steps = n_disp * block
     return {
         "method": method,
         "image_size": int(tr.image_size),
         "batch_size": int(cfg.dataset.batch_size),
         "images_per_step": n_imgs,  # DCL interleaves 2x; others == batch_size
-        "step_ms": round(dt / steps * 1e3, 2),
-        "images_per_sec": round(n_imgs * steps / dt / jax.device_count(), 2),
+        "steps_per_dispatch": block,
+        "step_ms": round(dt / n_steps * 1e3, 2),
+        "images_per_sec": round(n_imgs * n_steps / dt / jax.device_count(), 2),
     }
 
 
@@ -147,6 +174,9 @@ def main():
     parser.add_argument("--warmup", type=int, default=4)
     parser.add_argument("--batch-size", type=int, default=None,
                         help="override the config batch size")
+    parser.add_argument("--block", type=int, default=8,
+                        help="train steps per device dispatch (lax.scan "
+                        "block); 1 = per-step dispatch")
     parser.add_argument("--timeout", type=int, default=2400,
                         help="per-method subprocess timeout (matrix mode); "
                         "remote compile alone can take >500s for the heavy "
@@ -155,13 +185,14 @@ def main():
 
     if args.method:
         print(json.dumps(run_one(args.method, args.steps, args.warmup,
-                                 args.batch_size)))
+                                 args.batch_size, args.block)))
         return
 
     rows = []
     for method in CASES:
         cmd = [sys.executable, os.path.abspath(__file__), "--method", method,
-               "--steps", str(args.steps), "--warmup", str(args.warmup)]
+               "--steps", str(args.steps), "--warmup", str(args.warmup),
+               "--block", str(args.block)]
         if args.batch_size:
             cmd += ["--batch-size", str(args.batch_size)]
         out = None

@@ -147,8 +147,13 @@ def save_checkpoint(path, *, epoch, variables, opt_state, scheduler_state=None,
         with open(tmp, "wb") as f:
             f.write(serialization.to_bytes(payload))
         os.replace(tmp, path)
-        with open(path + ".meta.json", "w") as f:
+        # meta is replaced atomically too: a crash can pair a new payload
+        # with the previous meta (benign: epoch lives in the payload), but
+        # never with a truncated/partial JSON
+        meta_tmp = path + ".meta.json.tmp"
+        with open(meta_tmp, "w") as f:
             json.dump(meta, f)
+        os.replace(meta_tmp, path + ".meta.json")
 
     if async_write:
         _write_async(write)

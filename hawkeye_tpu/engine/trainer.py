@@ -62,14 +62,16 @@ def emergency_save(func):
             return func(self)
         except KeyboardInterrupt:
             self.logger.info("KeyboardInterrupt - saving emergency checkpoint ...")
+            # drain queued async writes FIRST: a queued older write to the
+            # same path must not land after (and clobber) the emergency write
+            ckpt.wait_for_pending_writes()
             self.save_checkpoint(sync=True)
-            ckpt.wait_for_pending_writes()  # flush queued async saves pre-exit
         except Exception as e:  # noqa: BLE001
             self.logger.error(repr(e))
             self.logger.error(traceback.format_exc())
             self.logger.info("saving emergency checkpoint ...")
-            self.save_checkpoint(sync=True)
             ckpt.wait_for_pending_writes()
+            self.save_checkpoint(sync=True)
             raise
 
     return _wrapped
@@ -217,9 +219,14 @@ class Trainer:
         self.average_meters = self.get_average_meters()
         self.timer = Timer()
 
-        # jitted programs
-        self._train_step = self.build_train_step()
-        self._eval_step = self.build_eval_step()
+        # jitted programs; train.steps_per_dispatch > 1 runs K steps per
+        # device dispatch via lax.scan (single-host only: the multi-host
+        # global-batch assembly path keeps per-step dispatch)
+        self.steps_per_dispatch = int(
+            self.config.train.get("steps_per_dispatch", 1) or 1)
+        if jax.process_count() > 1:
+            self.steps_per_dispatch = 1
+        self.rebuild_jitted_steps()
 
         self.logger.info("Training Preparation Done!")
 
@@ -306,6 +313,9 @@ class Trainer:
         # is testable on a single host; real runs default to jax.process_*.
         n_proc = int(ds_config.get("num_processes", jax.process_count()))
         proc_idx = int(ds_config.get("process_index", jax.process_index()))
+        # pad_batch must size per-process slices with the SAME resolved
+        # process count the sharded samplers use (config override included)
+        self._process_count = n_proc
         loaders = {}
         for split in self.datasets:
             dataset = self.datasets[split]
@@ -467,11 +477,20 @@ class Trainer:
     # ------------------------------------------------------------------
     # jitted programs
     # ------------------------------------------------------------------
-    def build_train_step(self):
+    def step_extras(self):
+        """Loop-invariant extra device inputs threaded into the jitted train
+        step (e.g. ProtoTree's per-epoch leaf snapshot + freeze gate).
+        Returned values are passed positionally after (state, batch, lr)."""
+        return ()
+
+    def train_step_body(self):
+        """The pure (state, batch, lr, *extras) -> (state, metrics) function.
+        Jitted as-is for single-step dispatch and scanned K times per
+        dispatch by ``build_train_block``. Subclasses with custom step math
+        override THIS (not build_train_step) so both paths stay in sync."""
         base_key = jax.random.PRNGKey(self.seed)
 
-        @partial(jax.jit, donate_argnums=(0,))
-        def train_step(state, batch, lr):
+        def train_step(state, batch, lr, *extras):
             rng = jax.random.fold_in(base_key, state.step)
             if self.pipeline == "device":
                 batch = self.device_prepare_train(
@@ -508,6 +527,36 @@ class Trainer:
 
         return train_step
 
+    def build_train_step(self):
+        return jax.jit(self.train_step_body(), donate_argnums=(0,))
+
+    def build_train_block(self):
+        """K train steps per device dispatch: ``lax.scan`` over stacked
+        batches [K, B, ...] and lrs [K]. Amortizes host dispatch overhead
+        (the dominant cost for small-batch recipes on a remote TPU: the
+        whole state pytree's dispatch bookkeeping is paid once per K steps).
+        Returns per-step metrics stacked on a leading [K] axis."""
+        body = self.train_step_body()
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def train_block(state, batches, lrs, *extras):
+            def scan_body(st, xs):
+                b, lr = xs
+                st, m = body(st, b, lr, *extras)
+                return st, m
+
+            return jax.lax.scan(scan_body, state, (batches, lrs))
+
+        return train_block
+
+    def rebuild_jitted_steps(self):
+        """(Re)build every jitted program. Phase-coupled trainers (S3N) call
+        this at the phase transition; both dispatch paths stay in sync."""
+        self._train_step = self.build_train_step()
+        self._eval_step = self.build_eval_step()
+        self._train_block = (
+            self.build_train_block() if self.steps_per_dispatch > 1 else None)
+
     def build_eval_step(self):
         @jax.jit
         def eval_step(state, batch):
@@ -522,8 +571,8 @@ class Trainer:
     # ------------------------------------------------------------------
     # batch prep
     # ------------------------------------------------------------------
-    def prepare_batch(self, batch, train):
-        """Host → device: pad to ONE stable device-divisible shape and shard.
+    def pad_batch(self, batch, train):
+        """Pad a host batch to ONE stable device-divisible shape.
 
         Every batch (including the val tail) is padded to the configured
         batch size rounded up to a device multiple, so each of train/eval
@@ -532,7 +581,9 @@ class Trainer:
         n = batch["label"].shape[0]
         target = pad_target(
             n, train=train, batch_size=int(self.config.dataset.batch_size),
-            n_devices=self.n_devices, process_count=jax.process_count())
+            n_devices=self.n_devices,
+            process_count=getattr(self, "_process_count",
+                                  jax.process_count()))
         pad = target - n
         # respect pre-existing per-row weights (multi-host padding rows
         # arrive already weighted 0 by PaddingAwareDataset)
@@ -550,6 +601,11 @@ class Trainer:
         batch = dict(batch)
         batch["weight"] = weight
         batch["img"] = np.ascontiguousarray(batch["img"])
+        return batch
+
+    def prepare_batch(self, batch, train):
+        """Host → device: pad + shard over the data mesh."""
+        batch = self.pad_batch(batch, train)
         if jax.process_count() > 1:
             from ..parallel import global_batch_from_local
 
@@ -637,11 +693,8 @@ class Trainer:
             m.reset()
         loader = self.dataloaders["train"]
         loader.set_epoch(self.epoch)
-        total_correct = 0.0
-        total_count = 0.0
-        total_loss = 0.0
-        n_batches = 0
-        pending = None  # overlap: pull metrics one step late
+        totals = {"correct": 0.0, "count": 0.0, "loss": 0.0, "n": 0}
+        pending = None  # overlap: pull metrics one dispatch late
         # tracing subsystem: experiment.profile captures a device trace of a
         # few steady-state steps in epoch 0 (replaces the reference's
         # wall-clock-only Timer, SURVEY §5)
@@ -655,6 +708,21 @@ class Trainer:
                             desc=f"epoch {self.epoch}", mininterval=1.0)
         except ImportError:
             iterator = loader
+
+        def accumulate(m):
+            # works for single-step scalars and [K]-stacked block metrics
+            totals["correct"] += float(np.sum(m["correct"]))
+            totals["count"] += float(np.sum(m["count"]))
+            totals["loss"] += float(np.sum(m["loss"]))
+            totals["n"] += int(np.size(np.asarray(m["loss"])))
+            if hasattr(iterator, "set_postfix") and totals["n"] % 10 < 2:
+                iterator.set_postfix(
+                    loss=f"{totals['loss'] / totals['n']:.3f}",
+                    acc=f"{100 * totals['correct'] / max(totals['count'], 1):.1f}",
+                    refresh=False)
+
+        k = self.steps_per_dispatch
+        block_buf = []
         for batch in iterator:
             if profile and step_in_epoch == 3:
                 jax.profiler.start_trace(profile_dir)
@@ -665,32 +733,52 @@ class Trainer:
                 profile = False
             step_in_epoch += 1
             self.on_start_batch(batch)
-            device_batch = self.prepare_batch(batch, train=True)
+            if k > 1:
+                block_buf.append(self.pad_batch(batch, train=True))
+                if len(block_buf) < k:
+                    continue
+                metrics = self._dispatch_block(block_buf, lr)
+                block_buf = []
+            else:
+                device_batch = self.prepare_batch(batch, train=True)
+                lr_arr = jnp.asarray(self.batch_lr(lr), jnp.float32)
+                self.state, metrics = self.train_step_call(device_batch, lr_arr)
+            if pending is not None:
+                accumulate(pending)
+            pending = metrics
+            self.on_end_batch(metrics)
+        # tail shorter than K: dispatch the leftover batches one step each
+        for host_batch in block_buf:
+            device_batch = self.prepare_batch(host_batch, train=True)
             lr_arr = jnp.asarray(self.batch_lr(lr), jnp.float32)
             self.state, metrics = self.train_step_call(device_batch, lr_arr)
             if pending is not None:
-                total_correct += float(pending["correct"])
-                total_count += float(pending["count"])
-                total_loss += float(pending["loss"])
-                n_batches += 1
-                if hasattr(iterator, "set_postfix") and n_batches % 10 == 0:
-                    iterator.set_postfix(
-                        loss=f"{total_loss / n_batches:.3f}",
-                        acc=f"{100 * total_correct / max(total_count, 1):.1f}",
-                        refresh=False)
+                accumulate(pending)
             pending = metrics
             self.on_end_batch(metrics)
         if pending is not None:
-            total_correct += float(pending["correct"])
-            total_count += float(pending["count"])
-            total_loss += float(pending["loss"])
-            n_batches += 1
-        acc = 100.0 * total_correct / max(total_count, 1.0)
+            accumulate(pending)
+        acc = 100.0 * totals["correct"] / max(totals["count"], 1.0)
         return {
             "acc": acc,
-            "loss": total_loss / max(n_batches, 1),
-            "count": total_count,
+            "loss": totals["loss"] / max(totals["n"], 1),
+            "count": totals["count"],
         }
+
+    def _dispatch_block(self, host_batches, epoch_lr):
+        """Stack K padded host batches to [K, B, ...], shard the per-step
+        batch axis, and run one K-step scan dispatch."""
+        from ..parallel import shard_stacked_batch
+
+        stacked = {
+            key: np.stack([b[key] for b in host_batches])
+            for key in host_batches[0]
+        }
+        device_batches = shard_stacked_batch(self.mesh, stacked)
+        lrs = jnp.asarray([self.batch_lr(epoch_lr) for _ in host_batches],
+                          jnp.float32)
+        self.state, metrics = self.train_block_call(device_batches, lrs)
+        return metrics
 
     def batch_lr(self, epoch_lr):
         """Per-step LR hook (per-batch cosine recipes override this)."""
@@ -702,9 +790,14 @@ class Trainer:
         return grads
 
     def train_step_call(self, device_batch, lr_arr):
-        """Dispatch one jitted train step (methods with extra step inputs —
-        e.g. ProtoTree's leaf snapshot — override this)."""
-        return self._train_step(self.state, device_batch, lr_arr)
+        """Dispatch one jitted train step."""
+        return self._train_step(self.state, device_batch, lr_arr,
+                                *self.step_extras())
+
+    def train_block_call(self, device_batches, lr_arrs):
+        """Dispatch one K-step train block (stacked batches [K, B, ...])."""
+        return self._train_block(self.state, device_batches, lr_arrs,
+                                 *self.step_extras())
 
     def validate(self):
         loader = self.dataloaders.get("val")

@@ -163,5 +163,8 @@ def build_prototree(config):
         num_features=int(config.get("num_features", 256)),
         backbone_name=(config.get("backbone", {}) or {}).get("name", "resnet50")
         if hasattr(config.get("backbone", None) or {}, "get") else "resnet50",
+        dtype=(jnp.float32
+               if str(config.get("dtype", "bfloat16")) in ("float32", "f32")
+               else jnp.bfloat16),
         eval_sampling=str(config.get("sampling", "distributed")),
     )

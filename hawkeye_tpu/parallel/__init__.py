@@ -4,6 +4,7 @@ from .mesh import (
     replicate_tree,
     replicated,
     shard_batch,
+    shard_stacked_batch,
 )
 from .multihost import (
     PaddingAwareDataset,
@@ -16,6 +17,7 @@ __all__ = [
     "batch_sharding",
     "replicated",
     "shard_batch",
+    "shard_stacked_batch",
     "replicate_tree",
     "PaddingAwareDataset",
     "ProcessShardedBatchSampler",

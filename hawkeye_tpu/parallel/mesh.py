@@ -52,6 +52,22 @@ def shard_batch(mesh: Mesh, batch: dict, axis_name="data") -> dict:
     return out
 
 
+def shard_stacked_batch(mesh: Mesh, batch: dict, axis_name="data") -> dict:
+    """Put a K-step stacked batch dict [K, B, ...] onto the mesh, sharded
+    along the PER-STEP batch axis (axis 1); the leading scan axis stays
+    unsharded. Used by the multi-step-per-dispatch train block."""
+    n = mesh.devices.size
+    sharding = NamedSharding(mesh, P(None, axis_name))
+    rep = replicated(mesh)
+    out = {}
+    for k, v in batch.items():
+        if hasattr(v, "ndim") and v.ndim >= 2 and v.shape[1] % n == 0:
+            out[k] = jax.device_put(v, sharding)
+        else:
+            out[k] = jax.device_put(v, rep)
+    return out
+
+
 def replicate_tree(mesh: Mesh, tree):
     """Replicate a pytree (params/optimizer state) across the mesh."""
     rep = replicated(mesh)

@@ -79,3 +79,25 @@ def test_crop_resize_jits_and_grads():
     g = jax.jit(jax.grad(f))(imgs)
     assert g.shape == imgs.shape
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_grid_sample_bf16_error_bound():
+    """S3N warps in bf16 (a documented speed tradeoff,
+    models/methods/s3n.py ~L235); pin the accuracy cost vs the f32 path:
+    elementwise error must stay within a few bf16 ulps of the input range."""
+    r = np.random.RandomState(0)
+    img = r.randn(2, 64, 64, 3).astype(np.float32) * 1.5
+    gy, gx = np.meshgrid(np.linspace(2, 61, 48), np.linspace(1, 62, 48),
+                         indexing="ij")
+    grid = np.stack([gy + r.rand(48, 48) * 0.7,
+                     gx + r.rand(48, 48) * 0.7], -1)
+    grid = grid[None].repeat(2, 0).astype(np.float32)
+    o32 = np.asarray(grid_sample_bilinear(jnp.asarray(img),
+                                          jnp.asarray(grid)))
+    o16 = np.asarray(grid_sample_bilinear(
+        jnp.asarray(img, jnp.bfloat16), jnp.asarray(grid)).astype(jnp.float32))
+    err = np.abs(o32 - o16)
+    scale = np.abs(img).max()
+    # bf16 eps = 2^-8; 4-tap interpolation accumulates a few ulps
+    assert err.max() <= 8 * 2.0**-8 * scale, err.max()
+    assert err.mean() <= 2.0**-8 * scale, err.mean()
