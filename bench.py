@@ -38,7 +38,7 @@ def build_model(name, stem_s2d):
 
 
 def measure_train(model, B, S, steps, warmup, *, remat=False, no_aug=False,
-                  donate=True):
+                  donate=True, real_batch=None):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -95,10 +95,16 @@ def measure_train(model, B, S, steps, warmup, *, remat=False, no_aug=False,
         params = optax.apply_updates(params, updates)
         return params, new_stats, opt_state, loss
 
-    # synthetic CUB-shaped input: uint8 [B, R, R, 3] on device
+    # input: uint8 [B, R, R, 3] on device (synthetic CUB-shaped, or a real
+    # decoded batch when --host-pipeline drives the full seam)
     host = np.random.RandomState(0)
-    raw = jax.device_put(host.randint(0, 256, (B, R, R, 3), dtype=np.uint8))
-    labels = jax.device_put(host.randint(0, 200, (B,)).astype(np.int32))
+    if real_batch is not None:
+        raw = jax.device_put(np.ascontiguousarray(real_batch["img"]))
+        labels = jax.device_put(
+            np.asarray(real_batch["label"], np.int32) % 200)
+    else:
+        raw = jax.device_put(host.randint(0, 256, (B, R, R, 3), dtype=np.uint8))
+        labels = jax.device_put(host.randint(0, 200, (B,)).astype(np.int32))
 
     # Anti-elision discipline for the axon tunnel (NEXT.md): inputs must
     # differ every step (the fresh rng key does that) and each timed segment
@@ -159,6 +165,77 @@ def measure_eval(model, B, S, steps, warmup):
     return B * steps / dt / jax.device_count()
 
 
+def measure_host_pipeline(steps, *, batch_size=64, decode_size=512,
+                          image_size=448, workers=None, data_root=None,
+                          meta=None, train_step=True):
+    """Sustained disk→device feed rate: JPEG files → native C++ decoder
+    (thread pool) → collate, then one real batch through device aug + a
+    448² train step (end-to-end seam check). Uses the committed fixture
+    JPEGs unless --data-root/--meta point at a real dataset."""
+    import os
+
+    from hawkeye_tpu.data import DataLoader, FGDataset, RandomBatchSampler
+    from hawkeye_tpu.data import native_decoder
+    from hawkeye_tpu.data.loader import default_collate
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    data_root = data_root or os.path.join(here, "tests", "fixtures", "images")
+    meta = meta or os.path.join(here, "tests", "fixtures", "meta", "train.txt")
+    workers = workers or os.cpu_count()
+    native = native_decoder.get_lib() is not None
+
+    ds = FGDataset(data_root, meta, decode_size=decode_size)
+    # loop epochs over a small fixture set: the steady-state cost is decode
+    # (page cache holds the bytes either way)
+    batch_size = min(batch_size, len(ds))
+    sampler = RandomBatchSampler(len(ds), batch_size, drop_last=True, seed=0)
+    loader = DataLoader(ds, sampler, num_workers=workers,
+                        collate_fn=default_collate, prefetch_batches=2)
+
+    def run_epochs(n_batches):
+        seen = 0
+        t0 = time.perf_counter()
+        epoch = 0
+        while seen < n_batches:
+            loader.set_epoch(epoch)
+            for batch in loader:
+                seen += 1
+                if seen >= n_batches:
+                    break
+            epoch += 1
+        return seen * batch_size / (time.perf_counter() - t0)
+
+    run_epochs(2)  # warm page cache + thread pool
+    loader_img_s = run_epochs(max(steps, 4))
+
+    result = {
+        "metric": "host_pipeline_images_per_sec",
+        "value": round(loader_img_s, 2),
+        "unit": "images/sec",
+        "decode_size": decode_size,
+        "decode_workers": workers,
+        "native_decoder": native,
+        "host_cores": os.cpu_count(),
+        # feed budget for the north-star train rate (588 img/s/chip):
+        # decode scales with cores (GIL released in the native decoder)
+        "cores_to_feed_588": round(588.0 / max(loader_img_s, 1e-9)
+                                   * os.cpu_count(), 1),
+    }
+    if train_step:
+        import jax
+        import jax.numpy as jnp
+
+        from hawkeye_tpu.config import ConfigNode
+        from hawkeye_tpu.registry import MODEL
+
+        batch = next(iter(loader))
+        model = MODEL.get("ResNet50")(ConfigNode({"num_classes": 200}))
+        img_s = measure_train(model, int(batch["img"].shape[0]), image_size,
+                              3, 1, real_batch=batch)
+        result["train_step_from_disk_images_per_sec"] = round(img_s, 2)
+    return result
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch-size", type=int, default=128)
@@ -182,12 +259,35 @@ def main():
     parser.add_argument("--bcnn-batch-size", type=int, default=112)
     # bs sweep (448², v5e): 32→292, 48→291, 64→274, 96→315, 112→333, 128→292
     parser.add_argument("--eval-batch-size", type=int, default=256)
+    parser.add_argument("--host-pipeline", action="store_true",
+                        help="measure the disk→decoder→loader feed rate and "
+                        "one real-batch 448² train step instead of the "
+                        "device matrix")
+    parser.add_argument("--data-root", default=None,
+                        help="image root for --host-pipeline (default: the "
+                        "committed JPEG fixtures)")
+    parser.add_argument("--meta", default=None,
+                        help="metadata list for --host-pipeline")
+    parser.add_argument("--workers", type=int, default=None,
+                        help="decode threads for --host-pipeline "
+                        "(default: all cores)")
+    parser.add_argument("--no-train-step", action="store_true",
+                        help="--host-pipeline: skip the device train step "
+                        "(loader-only measurement, no TPU needed)")
     args = parser.parse_args()
     if args.quick:
         args.steps, args.warmup = 5, 2
         args.batch_size, args.bcnn_batch_size, args.eval_batch_size = 16, 8, 16
 
     import hawkeye_tpu.models  # noqa: F401  (populate the registry)
+
+    if args.host_pipeline:
+        print(json.dumps(measure_host_pipeline(
+            args.steps, batch_size=min(args.batch_size, 64),
+            image_size=args.image_size, workers=args.workers,
+            data_root=args.data_root, meta=args.meta,
+            train_step=not args.no_train_step)))
+        return
 
     stem_s2d = not args.no_stem_s2d
     B, S = args.batch_size, args.image_size
