@@ -25,6 +25,27 @@ from functools import partial
 
 A100_RESNET50_448_TRAIN_IMG_S = 600.0  # documented estimate (see module docstring)
 BASELINE_IMG_S = 2.0 * A100_RESNET50_448_TRAIN_IMG_S
+V5E_PEAK_FLOP_S = 197e12  # TPU v5e bf16 MXU peak (per chip)
+
+
+def _step_flops(fn, *args):
+    """Model FLOPs of one step via client-side HLO cost analysis. The remote
+    (axon) backend can't analyze its own lowering, so lower the SAME function
+    against the local CPU backend with abstract inputs — the HLO math (and
+    its flop count) is identical. Returns None if analysis is unavailable."""
+    import jax
+
+    try:
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), args)
+        cpu = jax.local_devices(backend="cpu")[0]
+        stats = jax.jit(fn, device=cpu).lower(*abstract).cost_analysis()
+        if isinstance(stats, (list, tuple)):
+            stats = stats[0]
+        flops = float(stats.get("flops", 0.0))
+        return flops if flops > 0 else None
+    except Exception:
+        return None
 
 
 def build_model(name, stem_s2d):
@@ -83,8 +104,7 @@ def measure_train(model, B, S, steps, warmup, *, remat=False, no_aug=False,
 
     donate_argnums = (0, 1, 2) if donate else ()
 
-    @partial(jax.jit, donate_argnums=donate_argnums)
-    def train_step(params, batch_stats, opt_state, key, raw_u8, labels):
+    def train_step_body(params, batch_stats, opt_state, key, raw_u8, labels):
         if no_aug:
             x = raw_u8[:, :S, :S, :].astype(jnp.float32) / 255.0
         else:
@@ -94,6 +114,8 @@ def measure_train(model, B, S, steps, warmup, *, remat=False, no_aug=False,
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, new_stats, opt_state, loss
+
+    train_step = jax.jit(train_step_body, donate_argnums=donate_argnums)
 
     # input: uint8 [B, R, R, 3] on device (synthetic CUB-shaped, or a real
     # decoded batch when --host-pipeline drives the full seam)
@@ -111,6 +133,8 @@ def measure_train(model, B, S, steps, warmup, *, remat=False, no_aug=False,
     # must END WITH A HOST FETCH — block_until_ready alone does not force
     # remote execution. The loss-progression assert catches silent replay.
     key = jax.random.PRNGKey(1)
+    step_flops = _step_flops(train_step_body,
+                             params, batch_stats, opt_state, key, raw, labels)
     for _ in range(warmup):
         key, k = jax.random.split(key)
         params, batch_stats, opt_state, loss = train_step(
@@ -127,7 +151,11 @@ def measure_train(model, B, S, steps, warmup, *, remat=False, no_aug=False,
     if final_loss == warm_loss:
         raise RuntimeError("loss did not change over the timed steps — "
                            "suspected runtime replay; measurement invalid")
-    return B * steps / dt / jax.device_count()
+    img_s = B * steps / dt / jax.device_count()
+    # MFU: model FLOPs issued per second vs the chip's bf16 peak
+    mfu = (step_flops * (img_s / B) / V5E_PEAK_FLOP_S
+           if step_flops else None)
+    return img_s, mfu
 
 
 def measure_eval(model, B, S, steps, warmup):
@@ -230,8 +258,8 @@ def measure_host_pipeline(steps, *, batch_size=64, decode_size=512,
 
         batch = next(iter(loader))
         model = MODEL.get("ResNet50")(ConfigNode({"num_classes": 200}))
-        img_s = measure_train(model, int(batch["img"].shape[0]), image_size,
-                              3, 1, real_batch=batch)
+        img_s, _ = measure_train(model, int(batch["img"].shape[0]),
+                                 image_size, 3, 1, real_batch=batch)
         result["train_step_from_disk_images_per_sec"] = round(img_s, 2)
     return result
 
@@ -297,27 +325,28 @@ def main():
         if name == "bcnn" and B == 128:
             B = args.bcnn_batch_size
         model = build_model(name, stem_s2d)
-        img_s = measure_train(model, B, S, args.steps, args.warmup,
-                              remat=args.remat, no_aug=args.no_aug,
-                              donate=not args.no_donate)
+        img_s, mfu = measure_train(model, B, S, args.steps, args.warmup,
+                                   remat=args.remat, no_aug=args.no_aug,
+                                   donate=not args.no_donate)
         print(json.dumps({
             "metric": f"{name}_448_train_images_per_sec_per_chip",
             "value": round(img_s, 2),
             "unit": "images/sec/chip",
             "vs_baseline": round(img_s / BASELINE_IMG_S, 4),
+            "mfu": round(mfu, 4) if mfu else None,
         }))
         return
 
     resnet = build_model("resnet50", stem_s2d)
     bcnn = build_model("bcnn", stem_s2d)
-    train_r50 = measure_train(resnet, B, S, args.steps, args.warmup,
-                              remat=args.remat, no_aug=args.no_aug,
-                              donate=not args.no_donate)
+    train_r50, mfu_r50 = measure_train(resnet, B, S, args.steps, args.warmup,
+                                       remat=args.remat, no_aug=args.no_aug,
+                                       donate=not args.no_donate)
     eval_r50 = measure_eval(resnet, args.eval_batch_size, S,
                             args.steps, args.warmup)
-    train_bcnn = measure_train(bcnn, args.bcnn_batch_size, S,
-                               args.steps, args.warmup,
-                               donate=not args.no_donate)
+    train_bcnn, mfu_bcnn = measure_train(bcnn, args.bcnn_batch_size, S,
+                                         args.steps, args.warmup,
+                                         donate=not args.no_donate)
     eval_bcnn = measure_eval(bcnn, args.eval_batch_size, S,
                              args.steps, args.warmup)
     print(json.dumps({
@@ -326,8 +355,10 @@ def main():
         "unit": "images/sec/chip",
         "vs_baseline": round(train_r50 / BASELINE_IMG_S, 4),
         "train_images_per_sec": round(train_r50, 2),
+        "mfu": round(mfu_r50, 4) if mfu_r50 else None,
         "eval_images_per_sec": round(eval_r50, 2),
         "bcnn_train_images_per_sec": round(train_bcnn, 2),
+        "bcnn_mfu": round(mfu_bcnn, 4) if mfu_bcnn else None,
         "bcnn_eval_images_per_sec": round(eval_bcnn, 2),
         "batch_size": B,
         "bcnn_batch_size": args.bcnn_batch_size,
