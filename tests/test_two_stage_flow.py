@@ -1,0 +1,132 @@
+"""Two-stage recipe bootstrapping through the REAL config files.
+
+The reference trains BCNN/CBCNN/PeerLearning in two stages: stage 1 writes
+``best_model``, stage 2's config names it under ``model.load``
+(reference ``train.py:164-168``, ``configs/BCNN_S2.yaml``). These tests
+drive that chain through the actual YAML recipes in ``configs/`` — loaded
+via the same ``--config`` CLI path the entry points use — with only the
+environment-dependent knobs (dataset → synthetic, shapes/epochs → tiny)
+overridden, then chain into ``Tester`` exactly like ``test.py``.
+"""
+
+import os
+import sys
+
+import jax
+import numpy as np
+import yaml
+
+import hawkeye_tpu.models  # noqa: F401
+from hawkeye_tpu.config import setup_config
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+CONFIGS = os.path.join(os.path.dirname(HERE), "configs")
+
+
+def _deep_merge(base, override):
+    for k, v in override.items():
+        if isinstance(v, dict) and isinstance(base.get(k), dict):
+            _deep_merge(base[k], v)
+        else:
+            base[k] = v
+    return base
+
+
+def _tiny_recipe(name, tmp_path, overrides):
+    """Load a real recipe and shrink it to test scale; return a config node
+    produced by the same --config CLI path as train.py/test.py."""
+    with open(os.path.join(CONFIGS, name)) as f:
+        recipe = yaml.safe_load(f)
+    _deep_merge(recipe, {
+        "experiment": {"log_dir": str(tmp_path), "debug": True},
+        "dataset": {
+            "name": "synthetic", "length": 8, "batch_size": 4,
+            "num_workers": 0,
+            "transformer": {"image_size": 64, "resize_size": 72},
+        },
+    })
+    _deep_merge(recipe, overrides)
+    recipe["dataset"].pop("root_dir", None)
+    recipe["dataset"].pop("meta_dir", None)
+    path = tmp_path / name
+    with open(path, "w") as f:
+        yaml.safe_dump(recipe, f)
+    return setup_config(argv=["--config", str(path)])
+
+
+def _leaf(tree):
+    """A deterministic parameter leaf for weight-transfer asserts."""
+    leaves = jax.tree_util.tree_leaves_with_path(tree)
+    path, val = max(leaves, key=lambda kv: str(kv[0]))
+    return np.asarray(val)
+
+
+def test_bcnn_s1_s2_test_chain(tmp_path):
+    from Examples.BCNN import BCNNTrainer
+    from hawkeye_tpu.engine import Tester
+
+    tiny_model = {"backbone": "vgg11", "num_classes": 4}
+
+    # ---- stage 1: frozen backbone, writes best_model ----
+    s1 = BCNNTrainer(_tiny_recipe("BCNN_S1.yaml", tmp_path,
+                                  {"model": tiny_model,
+                                   "train": {"epoch": 1}}))
+    assert int(s1.config.model.stage) == 1
+    s1.train()
+    s1_best = os.path.join(s1.log_root, "best_model.msgpack")
+    assert os.path.exists(s1_best), "stage 1 must write best_model.msgpack"
+    s1_leaf = _leaf(jax.device_get(s1.state.params))
+
+    # ---- stage 2: real recipe's model.load redirected to the S1 artifact ----
+    s2 = BCNNTrainer(_tiny_recipe("BCNN_S2.yaml", tmp_path,
+                                  {"model": {**tiny_model, "load": s1_best},
+                                   "train": {"epoch": 1}}))
+    assert int(s2.config.model.stage) == 2
+    # the bootstrap actually transferred the stage-1 weights
+    np.testing.assert_allclose(_leaf(jax.device_get(s2.state.params)),
+                               s1_leaf, rtol=0, atol=0)
+    s2.train()
+    s2_best = os.path.join(s2.log_root, "best_model.msgpack")
+    assert os.path.exists(s2_best)
+
+    # ---- test.py chain: Tester on the stage-2 best model ----
+    tester = Tester(_tiny_recipe("test.yaml", tmp_path,
+                                 {"model": {**tiny_model, "load": s2_best},
+                                  "dataset": {"num_classes": 4}}))
+    acc = tester.test()
+    assert 0.0 <= float(acc) <= 100.0
+
+
+def test_peer_learning_nested_base_model_chain(tmp_path):
+    from Examples.PeerLearning import PLTrainer
+
+    tiny = {
+        "num_classes": 4, "T_k": 1,
+        "base_model": {"name": "BCNN", "num_classes": 4,
+                       "backbone": "vgg11"},
+    }
+
+    s1 = PLTrainer(_tiny_recipe(
+        "PeerLearning_BCNN_S1.yaml", tmp_path,
+        {"model": dict(tiny, base_model=dict(tiny["base_model"], stage=1)),
+         "train": {"epoch": 1, "scheduler": {"T_max": 1,
+                                             "warmup_epochs": 0}}}))
+    assert int(s1.config.model.base_model.stage) == 1
+    s1.train()
+    s1_best = os.path.join(s1.log_root, "best_model.msgpack")
+    assert os.path.exists(s1_best)
+    s1_leaf = _leaf(jax.device_get(s1.state.params))
+
+    s2 = PLTrainer(_tiny_recipe(
+        "PeerLearning_BCNN_S2.yaml", tmp_path,
+        {"model": dict(tiny, load=s1_best,
+                       base_model=dict(tiny["base_model"], stage=2)),
+         "train": {"epoch": 1, "val_first": False,
+                   "scheduler": {"T_max": 1, "warmup_epochs": 0}}}))
+    assert int(s2.config.model.base_model.stage) == 2
+    np.testing.assert_allclose(_leaf(jax.device_get(s2.state.params)),
+                               s1_leaf, rtol=0, atol=0)
+    s2.train()
+    assert os.path.exists(os.path.join(s2.log_root, "best_model.msgpack"))
