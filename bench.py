@@ -284,8 +284,9 @@ def main():
                         default="all",
                         help="'all' = the full train+eval matrix (default); "
                              "a model name = train-only single measurement")
-    parser.add_argument("--bcnn-batch-size", type=int, default=112)
-    # bs sweep (448², v5e): 32→292, 48→291, 64→274, 96→315, 112→333, 128→292
+    parser.add_argument("--bcnn-batch-size", type=int, default=128)
+    # bs sweep (448², v5e, argmax-index pools): 96→345, 112→362, 128→378,
+    # 144/160→compile OOM.  (Round-2 path peaked at 112→333.)
     parser.add_argument("--eval-batch-size", type=int, default=256)
     parser.add_argument("--host-pipeline", action="store_true",
                         help="measure the disk→decoder→loader feed rate and "

@@ -42,10 +42,20 @@ class CINLoss:
         za, zb = z[:half], z[half:2 * half]
         la, lb = labels[:half], labels[half:2 * half]
         same = (la == lb).astype(jnp.float32)
-        d = jnp.linalg.norm(za - zb, axis=1)
-        pull = same * d ** 2
+        # the pull term needs no sqrt (d² directly); the hinge's sqrt gets an
+        # epsilon so its gradient is finite at d = 0 — torch's
+        # PairwiseDistance hides the same singularity behind eps=1e-6
+        # (identical pairs otherwise turn the whole loss NaN via 0·(0/0),
+        # and weight-0 PADDED rows are duplicates of the last real row)
+        d2 = jnp.sum((za - zb) ** 2, axis=1)
+        d = jnp.sqrt(d2 + 1e-12)
+        pull = same * d2
         push = (1.0 - same) * jnp.maximum(self.beta - d, 0.0) ** 2
-        loss_cont = (pull + push).sum()
+        # a pair only counts when both rows are real (device-padding rows
+        # carry weight 0; the reference never pads, so this is a no-op there)
+        w = batch.get("weight")
+        pair_w = 1.0 if w is None else w[:half] * w[half:2 * half]
+        loss_cont = (pair_w * (pull + push)).sum()
         return loss_ce + self.alpha * loss_cont
 
 

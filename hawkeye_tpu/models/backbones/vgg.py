@@ -12,8 +12,10 @@ from __future__ import annotations
 from typing import Any, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
+from ...ops.pool import relu_maxpool2x2
 from ...registry import BACKBONE
 
 # torchvision cfgs: number = conv out-channels, "M" = 2x2 maxpool.
@@ -27,6 +29,25 @@ _VGG_CFGS = {
 }
 
 
+class _Conv3x3Params(nn.Module):
+    """Parameter-only twin of ``nn.Conv`` (same child param tree: kernel,
+    bias; same initializers) so a functionally-transformed conv — e.g. one
+    under ``jax.checkpoint`` — keeps checkpoint/transplant compatibility."""
+
+    features: int
+    in_features: int
+    param_dtype: Any
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (3, 3, self.in_features, self.features),
+                       self.param_dtype)
+        b = self.param("bias", nn.initializers.zeros_init(),
+                       (self.features,), self.param_dtype)
+        return k, b
+
+
 class VGG(nn.Module):
     """VGG trunk. Returns stages: ``features`` (pre-final-pool conv5 relu map),
     ``pooled_features`` (post final maxpool), ``pool`` (7x7 avg, flattened),
@@ -35,6 +56,17 @@ class VGG(nn.Module):
     ``features`` is the input to the last maxpool — i.e. the relu5_3 map that
     BCNN consumes (reference ``model/methods/BCNN.py:36-43`` slices
     ``features[:-1]``).
+
+    TPU memory/perf options (both numerically equivalent to the plain path):
+
+    * ``efficient_pool``: relu+maxpool boundaries use the argmax-index custom
+      VJP (``ops/pool.py``) — no select-and-scatter, no full-resolution
+      pre-pool residuals.
+    * ``remat_first``: the first conv+relu runs under ``jax.checkpoint`` so
+      its (widest-in-the-net) output is recomputed in the backward instead of
+      stored; without it XLA is forced at large batch to rematerialize the
+      much more expensive SECOND conv (measured: 17.8 ms/step at the BCNN
+      448²/bs112 recipe).
     """
 
     cfg: Sequence
@@ -44,6 +76,8 @@ class VGG(nn.Module):
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
     bn_cross_replica_axis: str | None = None
+    efficient_pool: bool = True
+    remat_first: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -52,13 +86,37 @@ class VGG(nn.Module):
         pre_last_pool = None
         n_pools = sum(1 for v in self.cfg if v == "M")
         pool_seen = 0
-        for v in self.cfg:
+        pending_prerelu = None  # set when relu is deferred into the pool op
+        for ci, v in enumerate(self.cfg):
             if v == "M":
                 pool_seen += 1
-                if pool_seen == n_pools:
-                    pre_last_pool = x
-                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+                if pending_prerelu is not None:
+                    if pool_seen == n_pools:
+                        pre_last_pool = nn.relu(pending_prerelu)
+                    x = relu_maxpool2x2(pending_prerelu)
+                    pending_prerelu = None
+                else:
+                    if pool_seen == n_pools:
+                        pre_last_pool = x
+                    x = nn.max_pool(x, (2, 2), strides=(2, 2))
                 layer_idx += 1
+            elif (self.remat_first and layer_idx == 0
+                    and not self.batch_norm):
+                # first conv+relu under checkpoint: store x (3ch), not the
+                # 64-channel full-resolution output
+                k, b = _Conv3x3Params(v, x.shape[-1], self.param_dtype,
+                                      name=f"conv{layer_idx}")()
+                dt = self.dtype
+
+                def _conv_relu(xx, kk, bb):
+                    y = jax.lax.conv_general_dilated(
+                        xx.astype(dt), kk.astype(dt), (1, 1),
+                        [(1, 1), (1, 1)],
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                    return nn.relu(y + bb.astype(dt))
+
+                x = jax.checkpoint(_conv_relu)(x, k, b)
+                layer_idx += 2
             else:
                 x = nn.Conv(v, (3, 3), padding=[(1, 1), (1, 1)], use_bias=True,
                             dtype=self.dtype, param_dtype=self.param_dtype,
@@ -71,7 +129,11 @@ class VGG(nn.Module):
                                      axis_name=self.bn_cross_replica_axis,
                                      name=f"bn{layer_idx}")(x)
                     layer_idx += 1
-                x = nn.relu(x)
+                if (self.efficient_pool and ci + 1 < len(self.cfg)
+                        and self.cfg[ci + 1] == "M"):
+                    pending_prerelu = x
+                else:
+                    x = nn.relu(x)
                 layer_idx += 1
 
         stages = {"features": pre_last_pool, "pooled_features": x}

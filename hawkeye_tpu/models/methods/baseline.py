@@ -48,7 +48,8 @@ def _register_baseline(model_name, backbone_name):
             backbone_name=backbone_name,
             num_classes=config.num_classes,
             dtype=(jnp.float32
-                   if str(config.get("dtype", "bfloat16")) in ("float32", "f32")
+                   if str(getattr(config, "dtype", "bfloat16"))
+                   in ("float32", "f32")
                    else jnp.bfloat16),
             stem_space_to_depth=bool(getattr(config, "stem_space_to_depth", False)),
         )

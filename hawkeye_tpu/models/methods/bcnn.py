@@ -30,11 +30,17 @@ class BCNN(nn.Module):
     stage: int = 2
     backbone_name: str = "vgg16"
     fused_pooling: bool = False  # Pallas kernel (ops/pallas_bilinear.py)
+    efficient_pool: bool = True  # argmax-index pools (ops/pool.py)
+    remat_first: bool = True     # checkpoint the first conv+relu
     dtype: Any = jnp.bfloat16
 
     def setup(self):
+        kwargs = {}
+        if self.backbone_name.startswith("vgg"):
+            kwargs = dict(efficient_pool=self.efficient_pool,
+                          remat_first=self.remat_first)
         self.backbone = BACKBONE.get(self.backbone_name)(
-            num_classes=0, dtype=self.dtype, name="backbone")
+            num_classes=0, dtype=self.dtype, name="backbone", **kwargs)
         self.fc = nn.Dense(self.num_classes, dtype=jnp.float32, name="fc")
 
     def __call__(self, x, train: bool = False):
@@ -61,4 +67,6 @@ def build_bcnn(config):
         stage=int(config.get("stage", 2)),
         backbone_name=config.get("backbone", "vgg16"),
         fused_pooling=bool(config.get("fused_pooling", False)),
+        efficient_pool=bool(config.get("efficient_pool", True)),
+        remat_first=bool(config.get("remat_first", True)),
     )

@@ -1,0 +1,114 @@
+"""Memory-light fused relu+maxpool for TPU.
+
+The reference's VGG/ResNet trunks interleave ``ReLU`` and ``MaxPool2d``
+(reference ``model/backbone/vgg.py:36-44``); autodiff of that pair on TPU
+lowers to a select-and-scatter that must RE-READ the full-resolution
+pre-pool activation in the backward pass (and therefore keeps it alive as a
+residual — 2.9 GB for VGG block 1 at 448²/bs112).
+
+``relu_maxpool2x2`` computes the same math with a custom VJP that stores a
+2-bit argmax per pooled cell (packed in uint8, 1/32 of the activation
+bytes) plus the pooled output itself:
+
+* forward: ``max`` over each 2×2 window then ``relu`` — identical values to
+  relu-then-pool because ``relu`` is monotone and commutes with ``max``.
+* backward: the incoming gradient is routed to the recorded argmax position,
+  gated by ``pooled > 0`` (the relu derivative at the selected element).
+
+Tie-breaking matches XLA's select-and-scatter (first element in row-major
+window order wins). The big pre-pool tensor is needed by NOTHING after this
+op, so XLA frees it — cutting VGG-16 activation residency by ~5.4 GB at the
+BCNN recipe shape and replacing the select-and-scatter pass with a cheap
+elementwise interleave.
+
+On TPU the op dispatches to the Pallas kernels in ``pallas_pool.py``; this
+lax formulation is the fallback (CPU tests, unsupported shapes). Measured
+BCNN 448²/bs112 train: 331 img/s plain relu+max_pool, 315 img/s this lax
+path (XLA materializes the windowed intermediates), 362 img/s Pallas —
+the kernel is what makes the argmax-index design pay off.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _pool_fwd_impl(x):
+    # Strided 4-D slices ONLY — no reshapes. XLA keeps big NHWC activations
+    # in batch-minor layouts on TPU ({0,3,2,1}: lanes=batch); reshape-based
+    # window extraction forces relayout copies (measured ~50 ms/step on the
+    # BCNN 448² recipe), while strided slices fuse into their consumers.
+    b, h, w, c = x.shape
+    assert h % 2 == 0 and w % 2 == 0, f"odd spatial dims {h}x{w}"
+    c00 = x[:, 0::2, 0::2, :]
+    c01 = x[:, 0::2, 1::2, :]
+    c10 = x[:, 1::2, 0::2, :]
+    c11 = x[:, 1::2, 1::2, :]
+    m0 = jnp.maximum(c00, c01)
+    m1 = jnp.maximum(c10, c11)
+    m = jnp.maximum(m0, m1)
+    # first-max-wins in row-major window order, like XLA select-and-scatter:
+    # strict > prefers the earlier candidate on ties at every merge
+    i0 = jnp.where(c01 > c00, jnp.uint8(1), jnp.uint8(0))
+    i1 = jnp.where(c11 > c10, jnp.uint8(3), jnp.uint8(2))
+    idx = jnp.where(m1 > m0, i1, i0)
+    p = jnp.maximum(m, jnp.zeros((), m.dtype))
+    return p, idx
+
+
+def _use_pallas(x):
+    from . import pallas_pool
+
+    return (jax.default_backend() == "tpu"
+            and pallas_pool.supports(x.shape, x.dtype))
+
+
+@jax.custom_vjp
+def relu_maxpool2x2(x):
+    """``max_pool(relu(x), 2x2, stride 2)`` with an argmax-index backward.
+
+    Accepts the PRE-relu activation and returns the pooled POST-relu map.
+    """
+    return _pool_fwd(x)[0]
+
+
+def _pool_fwd(x):
+    if _use_pallas(x):
+        from . import pallas_pool
+
+        p, idx = pallas_pool.pool_fwd(x)
+    else:
+        p, idx = _pool_fwd_impl(x)
+    return p, (idx, p)
+
+
+def _up2(a):
+    """Nearest-neighbor 2× spatial upsample as broadcast+reshape (compiles
+    to strided reads inside the consumer fusion, no materialized copy)."""
+    b, h2, w2, c = a.shape
+    a6 = jnp.broadcast_to(a[:, :, None, :, None, :], (b, h2, 2, w2, 2, c))
+    return a6.reshape(b, 2 * h2, 2 * w2, c)
+
+
+def _pool_bwd(res, dp):
+    idx, p = res
+    b, h2, w2, c = dp.shape
+    from . import pallas_pool
+
+    if (jax.default_backend() == "tpu"
+            and pallas_pool.supports((b, 2 * h2, 2 * w2, c), dp.dtype)):
+        return (pallas_pool.pool_bwd(dp, idx, p),)
+    g = jnp.where(p > 0, dp, jnp.zeros((), dp.dtype))
+    gu = _up2(g)
+    iu = _up2(idx)
+    shape = gu.shape
+    # position code of each full-res cell inside its 2×2 window (row-major)
+    row = jax.lax.broadcasted_iota(jnp.uint8, shape, 1) % 2
+    col = jax.lax.broadcasted_iota(jnp.uint8, shape, 2) % 2
+    pos = row * 2 + col
+    dx = jnp.where(iu == pos, gu, jnp.zeros((), gu.dtype))
+    return (dx,)
+
+
+relu_maxpool2x2.defvjp(_pool_fwd, _pool_bwd)

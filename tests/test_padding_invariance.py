@@ -29,6 +29,38 @@ def test_npairs_mamc_ignores_padding():
     assert not np.isclose(base, unmasked, rtol=1e-3)
 
 
+def test_cin_contrastive_masks_padding_and_survives_duplicates():
+    """Pairs touching weight-0 padding contribute nothing, and exact
+    duplicate pairs (padding copies the last real row) must not NaN the
+    gradient (jnp.linalg.norm's d=0 singularity; torch hides it via
+    PairwiseDistance eps)."""
+    import jax
+
+    from hawkeye_tpu.losses.cin import CINLoss
+
+    loss_fn = CINLoss({"alpha": 2.0, "beta": 0.5})
+    rng = np.random.RandomState(2)
+    z = rng.randn(8, 4).astype(np.float32)
+    z[6] = z[7] = z[5]  # padding duplicates the last real row
+    labels = np.array([0, 1, 0, 1, 0, 1, 1, 1], np.int32)
+    logits = rng.randn(8, 2).astype(np.float32)
+    w = np.array([1, 1, 1, 1, 1, 1, 0, 0], np.float32)
+
+    def run(zv):
+        batch = {"label": jnp.asarray(labels), "weight": jnp.asarray(w)}
+        out = {"logits": jnp.asarray(logits), "pair_embed": zv}
+        return loss_fn(out, batch)
+
+    val, grad = jax.value_and_grad(run)(jnp.asarray(z))
+    assert np.isfinite(float(val))
+    assert np.isfinite(np.asarray(grad)).all()
+
+    # perturbing ONLY the padded rows leaves the loss unchanged
+    z2 = z.copy()
+    z2[6:] += 3.21
+    assert np.isclose(float(val), float(run(jnp.asarray(z2))), rtol=1e-6)
+
+
 def test_mine_pairs_never_selects_padding():
     rng = np.random.RandomState(1)
     emb = rng.randn(6, 16).astype(np.float32)
