@@ -168,3 +168,57 @@ def build_prototree(config):
                else jnp.bfloat16),
         eval_sampling=str(config.get("sampling", "distributed")),
     )
+
+
+# ----------------------------------------------------------------------
+# self-contained tree export / import
+# ----------------------------------------------------------------------
+def save_tree(directory_path, model, variables):
+    """Reference ``ProtoTree.save/save_state`` (``prototree.py:248-265``)
+    pickles the whole tree module to a directory. The functional analogue is
+    a self-contained directory holding the constructor config (JSON) plus
+    every variable collection (params AND the non-gradient 'tree_leaves'
+    distributions) so ``load_tree`` can rebuild the model without the
+    original YAML config."""
+    import json
+    import os
+
+    from flax import serialization
+
+    os.makedirs(directory_path, exist_ok=True)
+    meta = {
+        "num_classes": model.num_classes,
+        "height": model.height,
+        "num_features": model.num_features,
+        "backbone_name": model.backbone_name,
+        "dtype": "float32" if model.dtype == jnp.float32 else "bfloat16",
+        "eval_sampling": model.eval_sampling,
+    }
+    with open(os.path.join(directory_path, "tree.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+    host = jax.tree_util.tree_map(lambda x: jax.device_get(x), variables)
+    with open(os.path.join(directory_path, "tree.msgpack"), "wb") as f:
+        f.write(serialization.to_bytes(host))
+
+
+def load_tree(directory_path):
+    """Rebuild ``(model, variables)`` from a ``save_tree`` directory
+    (reference ``ProtoTree.load``, ``prototree.py:267-269``)."""
+    import json
+    import os
+
+    from flax import serialization
+
+    with open(os.path.join(directory_path, "tree.json")) as f:
+        meta = json.load(f)
+    model = ProtoTreeNet(
+        num_classes=int(meta["num_classes"]),
+        height=int(meta["height"]),
+        num_features=int(meta["num_features"]),
+        backbone_name=meta["backbone_name"],
+        dtype=jnp.float32 if meta["dtype"] == "float32" else jnp.bfloat16,
+        eval_sampling=meta["eval_sampling"],
+    )
+    with open(os.path.join(directory_path, "tree.msgpack"), "rb") as f:
+        variables = serialization.msgpack_restore(f.read())
+    return model, variables
