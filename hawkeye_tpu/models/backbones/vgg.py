@@ -15,6 +15,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ...ops.conv import conv3x3_same_fast_dgrad
 from ...ops.pool import relu_maxpool2x2
 from ...registry import BACKBONE
 
@@ -78,6 +79,7 @@ class VGG(nn.Module):
     bn_cross_replica_axis: str | None = None
     efficient_pool: bool = True
     remat_first: bool = True
+    fast_dgrad: bool = False  # forward-form dgrad for 64->64 convs (ops/conv)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -117,6 +119,23 @@ class VGG(nn.Module):
 
                 x = jax.checkpoint(_conv_relu)(x, k, b)
                 layer_idx += 2
+            elif (self.fast_dgrad and v == 64 and x.shape[-1] == 64
+                    and not self.batch_norm):
+                # 64->64 conv with the forward-form data gradient: XLA's
+                # dgrad path runs ~69 TF/s at this shape vs ~123 for the
+                # identical forward conv (see ops/conv.py)
+                k, b = _Conv3x3Params(v, 64, self.param_dtype,
+                                      name=f"conv{layer_idx}")()
+                x = conv3x3_same_fast_dgrad(
+                    x.astype(self.dtype), k.astype(self.dtype)
+                ) + b.astype(self.dtype)
+                layer_idx += 1
+                if (self.efficient_pool and ci + 1 < len(self.cfg)
+                        and self.cfg[ci + 1] == "M"):
+                    pending_prerelu = x
+                else:
+                    x = nn.relu(x)
+                layer_idx += 1
             else:
                 x = nn.Conv(v, (3, 3), padding=[(1, 1), (1, 1)], use_bias=True,
                             dtype=self.dtype, param_dtype=self.param_dtype,

@@ -32,13 +32,15 @@ class BCNN(nn.Module):
     fused_pooling: bool = False  # Pallas kernel (ops/pallas_bilinear.py)
     efficient_pool: bool = True  # argmax-index pools (ops/pool.py)
     remat_first: bool = True     # checkpoint the first conv+relu
+    fast_dgrad: bool = False     # fwd-form dgrad for 64->64 convs (ops/conv)
     dtype: Any = jnp.bfloat16
 
     def setup(self):
         kwargs = {}
         if self.backbone_name.startswith("vgg"):
             kwargs = dict(efficient_pool=self.efficient_pool,
-                          remat_first=self.remat_first)
+                          remat_first=self.remat_first,
+                          fast_dgrad=self.fast_dgrad)
         self.backbone = BACKBONE.get(self.backbone_name)(
             num_classes=0, dtype=self.dtype, name="backbone", **kwargs)
         self.fc = nn.Dense(self.num_classes, dtype=jnp.float32, name="fc")
@@ -69,4 +71,5 @@ def build_bcnn(config):
         fused_pooling=bool(config.get("fused_pooling", False)),
         efficient_pool=bool(config.get("efficient_pool", True)),
         remat_first=bool(config.get("remat_first", True)),
+        fast_dgrad=bool(config.get("fast_dgrad", False)),
     )
