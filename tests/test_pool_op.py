@@ -66,6 +66,37 @@ def test_pallas_pool_kernels_match_lax(dtype):
     np.testing.assert_array_equal(np.asarray(dx), np.asarray(g_ref))
 
 
+def test_pallas_pool_shards_without_gathers(monkeypatch):
+    """Under GSPMD batch sharding the pool custom call must partition along
+    the batch axis — no all-gather in the compiled module, sharded output,
+    values equal to the single-device reference. (Run in interpret mode on
+    the virtual CPU mesh; the sharding decision happens at the GSPMD level,
+    before backend lowering.)"""
+    import flax.linen as fnn
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from hawkeye_tpu.ops import pallas_pool, pool
+
+    monkeypatch.setattr(
+        pool, "_use_pallas",
+        lambda x: pallas_pool.supports(x.shape, x.dtype))
+
+    mesh = Mesh(np.asarray(jax.devices()), ("data",))
+    x_host = np.random.RandomState(0).randn(16, 8, 8, 64).astype(np.float32)
+    x = jax.device_put(x_host, NamedSharding(mesh, P("data")))
+
+    def f(x):
+        return pool.relu_maxpool2x2(x).sum()
+
+    compiled = jax.jit(jax.grad(f)).lower(x).compile()
+    assert "all-gather" not in compiled.as_text()
+    out = jax.jit(jax.grad(f))(x)
+    assert out.sharding.spec == P("data")
+
+    ref = jax.grad(lambda x: naive(x).sum())(jnp.asarray(x_host))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
 def _vgg(efficient_pool, remat_first):
     from hawkeye_tpu.models.backbones.vgg import VGG, _VGG_CFGS
 
