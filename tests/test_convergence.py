@@ -22,6 +22,11 @@ import hawkeye_tpu.models  # noqa: F401
 
 from test_examples_smoke import CASES, tiny_config
 
+# Dominates full-suite wall time (17 methods x up to 35 tiny epochs ≈ 2h on
+# a 1-core host). `pytest -m "not slow"` gives the fast signal (~35 min);
+# the default full run still includes it.
+pytestmark = pytest.mark.slow
+
 # (epochs budget, train-acc bar %); default is (25, 90)
 BUDGETS = {
     # pair-mining score head sees mixed pairs; self-score CE still memorizes
