@@ -53,8 +53,11 @@ def test_pallas_pool_kernels_match_lax(dtype):
     from hawkeye_tpu.ops.pool import _pool_fwd_impl
 
     key = jax.random.PRNGKey(2)
-    x = jax.random.normal(key, (2, 8, 8, 64), dtype)
+    x = jax.random.normal(key, (64, 8, 8, 64), dtype)
     assert pallas_pool.supports(x.shape, dtype)
+    # tiny-minor-dim shapes (e.g. a batch-2 init trace) are intentionally
+    # unsupported: the post-transpose minor dim pads 64x on the lane axis
+    assert not pallas_pool.supports((2, 8, 8, 64), dtype)
     p_ref, i_ref = _pool_fwd_impl(x)
     p, idx = pallas_pool.pool_fwd(x)
     np.testing.assert_array_equal(np.asarray(p), np.asarray(p_ref))
