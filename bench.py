@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 from functools import partial
 
@@ -53,7 +54,10 @@ def build_model(name, stem_s2d):
     from hawkeye_tpu.registry import MODEL
 
     if name == "bcnn":
-        return MODEL.get("BCNN")(ConfigNode({"num_classes": 200, "stage": 2}))
+        return MODEL.get("BCNN")(ConfigNode(
+            {"num_classes": 200, "stage": 2,
+             "fast_dgrad": bool(int(os.environ.get("HAWKEYE_FAST_DGRAD",
+                                                   "0")))}))
     return MODEL.get("ResNet50")(ConfigNode(
         {"num_classes": 200, "stem_space_to_depth": bool(stem_s2d)}))
 

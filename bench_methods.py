@@ -49,7 +49,7 @@ CASES = {
 }
 
 
-def _bench_config(config_path, batch_size=None, block=1):
+def _bench_config(config_path, batch_size=None, block=1, model_kv=()):
     import yaml
 
     from hawkeye_tpu.config import ConfigNode
@@ -58,6 +58,9 @@ def _bench_config(config_path, batch_size=None, block=1):
         raw = yaml.safe_load(f)
     if block > 1:
         raw["train"]["steps_per_dispatch"] = int(block)
+    for kv in model_kv:  # A/B model knobs, e.g. fused_warp_pass=true
+        k, v = kv.split("=", 1)
+        raw["model"][k] = yaml.safe_load(v)
     # synthetic data, no weight loading: measure the device program only
     ds = raw["dataset"]
     ds["name"] = "synthetic"
@@ -81,7 +84,7 @@ def _bench_config(config_path, batch_size=None, block=1):
     return cfg
 
 
-def run_one(method, steps, warmup, batch_size=None, block=1):
+def run_one(method, steps, warmup, batch_size=None, block=1, model_kv=()):
     import importlib
 
     import jax
@@ -92,7 +95,7 @@ def run_one(method, steps, warmup, batch_size=None, block=1):
 
     t_start = time.perf_counter()
     config_path, module_name, cls_name = CASES[method]
-    cfg = _bench_config(config_path, batch_size, block)
+    cfg = _bench_config(config_path, batch_size, block, model_kv)
     trainer_cls = getattr(importlib.import_module(module_name), cls_name)
     trainer = trainer_cls(cfg)
     trainer.epoch = 0
@@ -177,6 +180,10 @@ def main():
     parser.add_argument("--block", type=int, default=8,
                         help="train steps per device dispatch (lax.scan "
                         "block); 1 = per-step dispatch")
+    parser.add_argument("--model-kv", action="append", default=[],
+                        metavar="KEY=VAL",
+                        help="model config override for A/B runs "
+                        "(repeatable), e.g. --model-kv fused_warp_pass=true")
     parser.add_argument("--timeout", type=int, default=2400,
                         help="per-method subprocess timeout (matrix mode); "
                         "remote compile alone can take >500s for the heavy "
@@ -185,7 +192,8 @@ def main():
 
     if args.method:
         print(json.dumps(run_one(args.method, args.steps, args.warmup,
-                                 args.batch_size, args.block)))
+                                 args.batch_size, args.block,
+                                 args.model_kv)))
         return
 
     rows = []
@@ -195,6 +203,8 @@ def main():
                "--block", str(args.block)]
         if args.batch_size:
             cmd += ["--batch-size", str(args.batch_size)]
+        for kv in args.model_kv:
+            cmd += ["--model-kv", kv]
         out = None
         try:
             out = subprocess.run(

@@ -95,6 +95,13 @@ class S3N(nn.Module):
     padding_size: int = 30
     backbone_name: str = "resnet50"
     dtype: Any = jnp.bfloat16
+    # Run the zoom + inverse warped views through ONE 2B-batch backbone call
+    # instead of two B-batch calls (the views are data-independent of each
+    # other; the recipe's bs8 half-fills the chip at 448²). Exactly
+    # equivalent when train=False; under train=True the BatchNorm batch
+    # statistics pool over both views instead of per-view (the reference,
+    # S3N.py:292-315, runs separate passes), so this is an opt-in perf knob.
+    fused_warp_pass: bool = False
 
     def setup(self):
         self.backbone = BACKBONE.get(self.backbone_name)(
@@ -239,11 +246,16 @@ class S3N(nn.Module):
         x_zoom = grid_sample_bilinear(x_src, grid_zoom)
         x_inv = grid_sample_bilinear(x_src, grid_inv)
 
-        feat_d = self.sampler_buffer(self.backbone(x_zoom, train=train)["c5"],
-                                     train)
+        if self.fused_warp_pass:
+            c5 = self.backbone(jnp.concatenate([x_zoom, x_inv], axis=0),
+                               train=train)["c5"]
+            c5_zoom, c5_inv = jnp.split(c5, 2, axis=0)
+        else:
+            c5_zoom = self.backbone(x_zoom, train=train)["c5"]
+            c5_inv = self.backbone(x_inv, train=train)["c5"]
+        feat_d = self.sampler_buffer(c5_zoom, train)
         agg_sampler = self.sampler_classifier(feat_d.mean(axis=(1, 2)))
-        feat_c = self.sampler_buffer1(self.backbone(x_inv, train=train)["c5"],
-                                      train)
+        feat_c = self.sampler_buffer1(c5_inv, train)
         agg_sampler1 = self.sampler_classifier1(feat_c.mean(axis=(1, 2)))
 
         aggregation = self.con_classifier(jnp.concatenate([
@@ -284,4 +296,5 @@ def build_s3n(config):
         radius_init=float(config.get("radius", 0.12)),
         radius_inv_init=float(config.get("radius_inv", 0.3)),
         backbone_name=config.get("backbone", "resnet50"),
+        fused_warp_pass=bool(config.get("fused_warp_pass", False)),
     )

@@ -54,6 +54,30 @@ def test_nts_ranking_hinge():
     assert float(ranking_hinge(scores, losses)) == 0.0
 
 
+def test_s3n_fused_warp_pass_equivalence():
+    """fused_warp_pass concatenates the zoom+inverse views into one backbone
+    call. Same params, eval mode (BN running stats): outputs must be
+    identical to the two-pass form; train mode must stay finite (BN batch
+    stats pool over both views there — the documented delta)."""
+    cfg = ConfigNode({"num_classes": 4, "image_size": 64,
+                      "backbone": "resnet18"})
+    base = MODEL.get("S3N")(cfg)
+    fused = MODEL.get("S3N")(ConfigNode({**cfg.to_dict(),
+                                         "fused_warp_pass": True}))
+    x = jnp.asarray(np.random.RandomState(1).rand(2, 64, 64, 3), jnp.float32)
+    v = base.init({"params": jax.random.PRNGKey(0),
+                   "dropout": jax.random.PRNGKey(1)}, x, train=True, p=0)
+    out_a = base.apply(v, x, train=False, p=2)
+    out_b = fused.apply(v, x, train=False, p=2)
+    for k in out_a:
+        np.testing.assert_allclose(np.asarray(out_a[k], np.float32),
+                                   np.asarray(out_b[k], np.float32),
+                                   rtol=0, atol=1e-5, err_msg=k)
+    out_t, _ = fused.apply(v, x, train=True, p=1, mutable=["batch_stats"],
+                           rngs={"dropout": jax.random.PRNGKey(2)})
+    assert np.isfinite(np.asarray(out_t["logits"], np.float32)).all()
+
+
 def test_s3n_phases_and_loss():
     cfg = ConfigNode({"num_classes": 4, "image_size": 64,
                       "backbone": "resnet18"})
