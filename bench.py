@@ -103,7 +103,15 @@ def measure_train(model, B, S, steps, warmup, *, remat=False, no_aug=False,
             out["logits"], y).mean()
         return loss, new_stats
 
-    if remat:
+    if remat == "conv":
+        # finer policy for the HBM-BW-bound step: keep conv/matmul outputs,
+        # recompute the elementwise BN/relu chains in the backward — trades
+        # cheap VPU FLOPs for activation reads/writes
+        def _save_convs(prim, *_, **__):
+            return prim.name in ("conv_general_dilated", "dot_general")
+
+        loss_fn = jax.checkpoint(loss_fn, policy=_save_convs)
+    elif remat:
         loss_fn = jax.checkpoint(loss_fn)
 
     donate_argnums = (0, 1, 2) if donate else ()
@@ -278,9 +286,12 @@ def main():
     parser.add_argument("--no-aug", action="store_true",
                         help="skip device augmentation (ablation)")
     parser.add_argument("--no-donate", action="store_true")
-    parser.add_argument("--remat", action="store_true",
-                        help="rematerialize the forward in the backward "
-                             "(enables larger batches)")
+    parser.add_argument("--remat", nargs="?", const=True, default=False,
+                        choices=[True, False, "conv"],
+                        help="rematerialize the forward in the backward: "
+                             "bare flag = full remat (enables larger "
+                             "batches); 'conv' = save conv/dot outputs only "
+                             "(recompute elementwise, cuts HBM traffic)")
     parser.add_argument("--no-stem-s2d", action="store_true",
                         help="disable the space-to-depth stem (ablation; "
                              "numerics are identical either way)")
