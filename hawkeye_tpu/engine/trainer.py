@@ -226,6 +226,11 @@ class Trainer:
             self.config.train.get("steps_per_dispatch", 1) or 1)
         if jax.process_count() > 1:
             self.steps_per_dispatch = 1
+        # train.remat: rematerialization of the loss forward in the backward.
+        # false (default) = off; "conv" = save conv/dot outputs, recompute
+        # the elementwise chains (cuts activation HBM traffic); true = full
+        # remat (largest batches, most recompute).
+        self.remat = self.config.train.get("remat", False)
         self.rebuild_jitted_steps()
 
         self.logger.info("Training Preparation Done!")
@@ -499,6 +504,15 @@ class Trainer:
             def loss_fn(params):
                 loss, outputs, mutated = self.forward_train(params, state, batch, rng)
                 return loss, (outputs, mutated)
+
+            if self.remat == "conv":
+                def _save_convs(prim, *_, **__):
+                    return prim.name in ("conv_general_dilated",
+                                         "dot_general")
+
+                loss_fn = jax.checkpoint(loss_fn, policy=_save_convs)
+            elif self.remat:
+                loss_fn = jax.checkpoint(loss_fn)
 
             (loss, (outputs, mutated)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True

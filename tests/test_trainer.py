@@ -74,6 +74,41 @@ def test_trainer_loss_decreases(tmp_path):
     assert losses[-1] < losses[0], f"training did not reduce loss: {losses}"
 
 
+def test_remat_conv_matches_baseline_step(tmp_path):
+    """train.remat: conv is a pure memory/compute trade — in f32 the step
+    outputs match the non-remat step tightly on the same batch. (In bf16 the
+    checkpoint regions change XLA's fusion boundaries, so agreement is only
+    to bf16 rounding — same as any recompilation.)"""
+    import jax
+    import numpy as np
+
+    res = {}
+    for tag, remat in (("off", False), ("conv", "conv")):
+        cfg = make_config(tmp_path, f"remat_{tag}", epochs=1,
+                          **{"train.remat": remat, "model.dtype": "float32"})
+        trainer = Trainer(cfg)
+        batch = next(iter(trainer.dataloaders["train"]))
+        dev = trainer.prepare_batch(batch, train=True)
+        st, m = trainer._train_step(trainer.state, dev, 0.01,
+                                    *trainer.step_extras())
+        res[tag] = (float(np.sum(m["loss"])),
+                    np.asarray(jax.tree.leaves(st.params)[0], np.float64))
+    assert res["off"][0] == pytest.approx(res["conv"][0], rel=1e-5)
+    np.testing.assert_allclose(res["off"][1], res["conv"][1],
+                               rtol=1e-4, atol=1e-7)
+
+
+def test_remat_conv_trains(tmp_path):
+    """The remat path must train end-to-end (loss decreases over epochs)."""
+    cfg = make_config(tmp_path, "remat_learn", epochs=4,
+                      **{"dataset.length": 16, "model.num_classes": 2,
+                         "train.optimizer.lr": 0.05, "train.remat": "conv"})
+    trainer = Trainer(cfg)
+    trainer.train()
+    losses = trainer.performance_meters["train"]["loss"].values
+    assert losses[-1] < losses[0], losses
+
+
 def test_resume_roundtrip(tmp_path):
     cfg = make_config(tmp_path, "resume_a", epochs=2)
     t1 = Trainer(cfg)
