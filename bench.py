@@ -36,11 +36,19 @@ def _step_flops(fn, *args):
     its flop count) is identical. Returns None if analysis is unavailable."""
     import jax
 
+    from hawkeye_tpu.ops import pool
+
     try:
         abstract = jax.tree.map(
             lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), args)
         cpu = jax.local_devices(backend="cpu")[0]
-        stats = jax.jit(fn, device=cpu).lower(*abstract).cost_analysis()
+        # the TPU Pallas pool kernels can't lower on CPU; the lax path has
+        # the same model flop count (pools are flop-negligible)
+        pool.FORCE_LAX = True
+        try:
+            stats = jax.jit(fn, device=cpu).lower(*abstract).cost_analysis()
+        finally:
+            pool.FORCE_LAX = False
         if isinstance(stats, (list, tuple)):
             stats = stats[0]
         flops = float(stats.get("flops", 0.0))

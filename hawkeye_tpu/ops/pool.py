@@ -57,7 +57,16 @@ def _pool_fwd_impl(x):
     return p, idx
 
 
+# Force the lax formulation even on TPU. Used by bench.py's FLOPs estimator,
+# which lowers the train step against the local CPU backend for HLO cost
+# analysis — the TPU Pallas kernels cannot lower there, and the lax path's
+# flop count is the model count either way (pools are flop-negligible).
+FORCE_LAX = False
+
+
 def _use_pallas(x):
+    if FORCE_LAX:
+        return False
     from . import pallas_pool
 
     return (jax.default_backend() == "tpu"
@@ -96,7 +105,7 @@ def _pool_bwd(res, dp):
     b, h2, w2, c = dp.shape
     from . import pallas_pool
 
-    if (jax.default_backend() == "tpu"
+    if (not FORCE_LAX and jax.default_backend() == "tpu"
             and pallas_pool.supports((b, 2 * h2, 2 * w2, c), dp.dtype)):
         return (pallas_pool.pool_bwd(dp, idx, p),)
     g = jnp.where(p > 0, dp, jnp.zeros((), dp.dtype))
