@@ -57,10 +57,9 @@ def _pool_fwd_impl(x):
     return p, idx
 
 
-# Force the lax formulation even on TPU. Used by bench.py's FLOPs estimator,
-# which lowers the train step against the local CPU backend for HLO cost
-# analysis — the TPU Pallas kernels cannot lower there, and the lax path's
-# flop count is the model count either way (pools are flop-negligible).
+# Force the lax argmax formulation everywhere (tests; bench.py's FLOPs
+# estimator, which lowers the train step against the local CPU backend for
+# HLO cost analysis where the TPU Pallas kernels cannot lower).
 FORCE_LAX = False
 
 
@@ -73,12 +72,29 @@ def _use_pallas(x):
             and pallas_pool.supports(x.shape, x.dtype))
 
 
-@jax.custom_vjp
 def relu_maxpool2x2(x):
-    """``max_pool(relu(x), 2x2, stride 2)`` with an argmax-index backward.
+    """``max_pool(relu(x), 2x2, stride 2)``. Accepts the PRE-relu activation
+    and returns the pooled POST-relu map.
 
-    Accepts the PRE-relu activation and returns the pooled POST-relu map.
+    Dispatch: the argmax-index custom-VJP op when its Pallas kernels apply
+    (TPU, supported shape) — that's where the memory-residency win converts
+    to throughput. Everywhere else (CPU, small batches below the kernel's
+    lane-fill bar), plain relu→max_pool with XLA's own select-and-scatter
+    backward: the lax argmax formulation REGRESSES there (XLA materializes
+    its windowed intermediates — measured 315 vs 331 img/s at BCNN bs112,
+    and 241 vs 265 img/s at the bs8 recipe row). Values are identical on
+    every path; ``FORCE_LAX`` pins the argmax formulation for parity tests.
     """
+    if FORCE_LAX or _use_pallas(x):
+        return _relu_maxpool2x2_argmax(x)
+    r = jnp.maximum(x, jnp.zeros((), x.dtype))
+    return jax.lax.reduce_window(r, -jnp.inf, jax.lax.max,
+                                 (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+
+
+@jax.custom_vjp
+def _relu_maxpool2x2_argmax(x):
+    """The argmax-index formulation (Pallas on TPU, lax elsewhere)."""
     return _pool_fwd(x)[0]
 
 
@@ -120,4 +136,4 @@ def _pool_bwd(res, dp):
     return (dx,)
 
 
-relu_maxpool2x2.defvjp(_pool_fwd, _pool_bwd)
+_relu_maxpool2x2_argmax.defvjp(_pool_fwd, _pool_bwd)

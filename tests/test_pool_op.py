@@ -7,6 +7,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from hawkeye_tpu.ops import pool
 from hawkeye_tpu.ops.pool import relu_maxpool2x2
 
 
@@ -16,8 +17,17 @@ def naive(x):
     return nn.max_pool(nn.relu(x), (2, 2), strides=(2, 2))
 
 
+# force_argmax=True pins the argmax-index custom-VJP formulation (the path
+# the TPU Pallas kernels implement); False takes the default dispatch, which
+# off-TPU is plain relu→max_pool. Both must agree bit-for-bit.
+@pytest.fixture(params=[False, True], ids=["dispatch", "argmax"])
+def force_argmax(request, monkeypatch):
+    monkeypatch.setattr(pool, "FORCE_LAX", request.param)
+    return request.param
+
+
 @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
-def test_relu_maxpool_forward_backward(dtype):
+def test_relu_maxpool_forward_backward(dtype, force_argmax):
     key = jax.random.PRNGKey(0)
     x = jax.random.normal(key, (3, 8, 12, 5), dtype)
 
@@ -30,7 +40,7 @@ def test_relu_maxpool_forward_backward(dtype):
     np.testing.assert_array_equal(np.asarray(g_fast), np.asarray(g_ref))
 
 
-def test_relu_maxpool_tie_break_matches_select_and_scatter():
+def test_relu_maxpool_tie_break_matches_select_and_scatter(force_argmax):
     # constant windows: all four candidates tie — first (row-major) must win
     x = jnp.ones((1, 4, 4, 2), jnp.float32)
     dp = jnp.arange(8, dtype=jnp.float32).reshape(1, 2, 2, 2)
@@ -39,7 +49,7 @@ def test_relu_maxpool_tie_break_matches_select_and_scatter():
     np.testing.assert_array_equal(np.asarray(g_fast), np.asarray(g_ref))
 
 
-def test_relu_maxpool_negative_windows_zero_grad():
+def test_relu_maxpool_negative_windows_zero_grad(force_argmax):
     x = -jnp.ones((1, 4, 4, 1), jnp.float32)
     dp = jnp.ones((1, 2, 2, 1), jnp.float32)
     g = jax.vjp(relu_maxpool2x2, x)[1](dp)[0]
