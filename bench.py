@@ -29,18 +29,24 @@ BASELINE_IMG_S = 2.0 * A100_RESNET50_448_TRAIN_IMG_S
 V5E_PEAK_FLOP_S = 197e12  # TPU v5e bf16 MXU peak (per chip)
 
 
-def _step_flops(fn, *args):
+def _step_flops(fn, abstract):
     """Model FLOPs of one step via client-side HLO cost analysis. The remote
     (axon) backend can't analyze its own lowering, so lower the SAME function
     against the local CPU backend with abstract inputs — the HLO math (and
-    its flop count) is identical. Returns None if analysis is unavailable."""
+    its flop count) is identical. Returns None if analysis is unavailable.
+
+    ORDERING CONTRACT (round-4 finding): this must run only AFTER every
+    timed TPU loop in the process. Initializing the CPU client + lowering
+    here before the TPU measurements was measured to depress BCNN train
+    throughput 380 -> 331 img/s (the round-3 "pool kernel regression" was
+    entirely this meter artifact). Deferring also makes the FORCE_LAX toggle
+    safe by construction: the TPU step functions are traced (with the Pallas
+    path) long before the flag ever flips for the CPU lowering."""
     import jax
 
     from hawkeye_tpu.ops import pool
 
     try:
-        abstract = jax.tree.map(
-            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), args)
         cpu = jax.local_devices(backend="cpu")[0]
         # the TPU Pallas pool kernels can't lower on CPU; the lax path has
         # the same model flop count (pools are flop-negligible)
@@ -153,8 +159,10 @@ def measure_train(model, B, S, steps, warmup, *, remat=False, no_aug=False,
     # must END WITH A HOST FETCH — block_until_ready alone does not force
     # remote execution. The loss-progression assert catches silent replay.
     key = jax.random.PRNGKey(1)
-    step_flops = _step_flops(train_step_body,
-                             params, batch_stats, opt_state, key, raw, labels)
+    # capture abstract arg shapes now (donation frees the buffers later);
+    # the actual FLOPs analysis is DEFERRED — see _step_flops ordering note
+    abstract = jax.tree.map(lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+                            (params, batch_stats, opt_state, key, raw, labels))
     for _ in range(warmup):
         key, k = jax.random.split(key)
         params, batch_stats, opt_state, loss = train_step(
@@ -172,10 +180,15 @@ def measure_train(model, B, S, steps, warmup, *, remat=False, no_aug=False,
         raise RuntimeError("loss did not change over the timed steps — "
                            "suspected runtime replay; measurement invalid")
     img_s = B * steps / dt / jax.device_count()
-    # MFU: model FLOPs issued per second vs the chip's bf16 peak
-    mfu = (step_flops * (img_s / B) / V5E_PEAK_FLOP_S
-           if step_flops else None)
-    return img_s, mfu
+
+    def mfu_thunk():
+        # MFU: model FLOPs issued per second vs the chip's bf16 peak.
+        # Deferred: call only after ALL timed loops (see _step_flops).
+        step_flops = _step_flops(train_step_body, abstract)
+        return (step_flops * (img_s / B) / V5E_PEAK_FLOP_S
+                if step_flops else None)
+
+    return img_s, mfu_thunk
 
 
 def measure_eval(model, B, S, steps, warmup):
@@ -349,9 +362,10 @@ def main():
         if name == "bcnn" and B == 128:
             B = args.bcnn_batch_size
         model = build_model(name, stem_s2d)
-        img_s, mfu = measure_train(model, B, S, args.steps, args.warmup,
-                                   remat=args.remat, no_aug=args.no_aug,
-                                   donate=not args.no_donate)
+        img_s, mfu_thunk = measure_train(model, B, S, args.steps, args.warmup,
+                                         remat=args.remat, no_aug=args.no_aug,
+                                         donate=not args.no_donate)
+        mfu = mfu_thunk()  # AFTER the timed loop (see _step_flops)
         print(json.dumps({
             "metric": f"{name}_448_train_images_per_sec_per_chip",
             "value": round(img_s, 2),
@@ -363,16 +377,19 @@ def main():
 
     resnet = build_model("resnet50", stem_s2d)
     bcnn = build_model("bcnn", stem_s2d)
-    train_r50, mfu_r50 = measure_train(resnet, B, S, args.steps, args.warmup,
-                                       remat=args.remat, no_aug=args.no_aug,
-                                       donate=not args.no_donate)
+    train_r50, mfu_r50_thunk = measure_train(
+        resnet, B, S, args.steps, args.warmup,
+        remat=args.remat, no_aug=args.no_aug, donate=not args.no_donate)
     eval_r50 = measure_eval(resnet, args.eval_batch_size, S,
                             args.steps, args.warmup)
-    train_bcnn, mfu_bcnn = measure_train(bcnn, args.bcnn_batch_size, S,
-                                         args.steps, args.warmup,
-                                         donate=not args.no_donate)
+    train_bcnn, mfu_bcnn_thunk = measure_train(
+        bcnn, args.bcnn_batch_size, S, args.steps, args.warmup,
+        donate=not args.no_donate)
     eval_bcnn = measure_eval(bcnn, args.eval_batch_size, S,
                              args.steps, args.warmup)
+    # FLOPs/MFU analysis strictly after every timed loop (see _step_flops)
+    mfu_r50 = mfu_r50_thunk()
+    mfu_bcnn = mfu_bcnn_thunk()
     print(json.dumps({
         "metric": "resnet50_448_train_images_per_sec_per_chip",
         "value": round(train_r50, 2),

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ...registry import BACKBONE
+from .norm import GroupedBatchNorm
 
 ModuleDef = Any
 
@@ -174,18 +175,36 @@ class ResNet(nn.Module):
     bn_cross_replica_axis: str | None = None
     strides: Sequence[int] = (1, 2, 2, 2)
     stem_space_to_depth: bool = False
+    # Per-view BN for fused multi-view passes (S3N/NTS): when True, norm
+    # layers are GroupedBatchNorm and ``__call__(..., bn_groups=G)`` computes
+    # train-mode batch statistics per contiguous batch group. groups=1 is
+    # numerically identical to nn.BatchNorm; the param/stats tree matches.
+    grouped_bn: bool = False
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        norm = partial(
-            nn.BatchNorm,
-            use_running_average=not train,
-            momentum=self.bn_momentum,
-            epsilon=self.bn_epsilon,
-            dtype=self.dtype,
-            param_dtype=self.param_dtype,
-            axis_name=self.bn_cross_replica_axis,
-        )
+    def __call__(self, x, train: bool = False, bn_groups: int = 1):
+        if self.grouped_bn:
+            norm = partial(
+                GroupedBatchNorm,
+                use_running_average=not train,
+                momentum=self.bn_momentum,
+                epsilon=self.bn_epsilon,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                axis_name=self.bn_cross_replica_axis,
+                groups=bn_groups,
+            )
+        else:
+            assert bn_groups == 1, "bn_groups>1 needs grouped_bn=True"
+            norm = partial(
+                nn.BatchNorm,
+                use_running_average=not train,
+                momentum=self.bn_momentum,
+                epsilon=self.bn_epsilon,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                axis_name=self.bn_cross_replica_axis,
+            )
         x = x.astype(self.dtype)
         if self.stem_space_to_depth:
             # same math as the 7x7/2 conv below; same param path/shape

@@ -97,15 +97,20 @@ class S3N(nn.Module):
     dtype: Any = jnp.bfloat16
     # Run the zoom + inverse warped views through ONE 2B-batch backbone call
     # instead of two B-batch calls (the views are data-independent of each
-    # other; the recipe's bs8 half-fills the chip at 448²). Exactly
-    # equivalent when train=False; under train=True the BatchNorm batch
-    # statistics pool over both views instead of per-view (the reference,
-    # S3N.py:292-315, runs separate passes), so this is an opt-in perf knob.
-    fused_warp_pass: bool = False
+    # other; the recipe's bs8 half-fills the chip at 448²). EXACT in both
+    # modes: eval trivially; train because the backbone's GroupedBatchNorm
+    # computes batch statistics per view half and folds the running-average
+    # update sequentially in view order — the same math as the reference's
+    # two separate passes (S3N.py:292-315). Default ON (+34% at the recipe
+    # shape); parity vs the two-pass path pinned by tests/test_s3n_fused.py.
+    fused_warp_pass: bool = True
 
     def setup(self):
+        kwargs = {}
+        if not self.backbone_name.startswith("vgg"):
+            kwargs["grouped_bn"] = True  # per-view stats for the fused pass
         self.backbone = BACKBONE.get(self.backbone_name)(
-            num_classes=0, dtype=self.dtype, name="backbone")
+            num_classes=0, dtype=self.dtype, name="backbone", **kwargs)
         self.raw_classifier = nn.Dense(self.num_classes, dtype=jnp.float32,
                                        name="raw_classifier")
         self.sampler_buffer = _Buffer(dtype=self.dtype, name="sampler_buffer")
@@ -247,8 +252,14 @@ class S3N(nn.Module):
         x_inv = grid_sample_bilinear(x_src, grid_inv)
 
         if self.fused_warp_pass:
+            # bn_groups=2: per-view batch statistics inside the single
+            # 2B-batch call (zoom half first, matching the reference's
+            # zoom-then-inverse sequential running-stats update)
             c5 = self.backbone(jnp.concatenate([x_zoom, x_inv], axis=0),
-                               train=train)["c5"]
+                               train=train,
+                               **({"bn_groups": 2} if train and
+                                  not self.backbone_name.startswith("vgg")
+                                  else {}))["c5"]
             c5_zoom, c5_inv = jnp.split(c5, 2, axis=0)
         else:
             c5_zoom = self.backbone(x_zoom, train=train)["c5"]
@@ -296,5 +307,5 @@ def build_s3n(config):
         radius_init=float(config.get("radius", 0.12)),
         radius_inv_init=float(config.get("radius_inv", 0.3)),
         backbone_name=config.get("backbone", "resnet50"),
-        fused_warp_pass=bool(config.get("fused_warp_pass", False)),
+        fused_warp_pass=bool(config.get("fused_warp_pass", True)),
     )

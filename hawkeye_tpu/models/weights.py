@@ -106,7 +106,18 @@ def convert_torchvision_vgg(sd, prefix=""):
         if cm:
             idx, kind = cm.groups()
             if kind == "weight":
-                params[f"fc{idx}/kernel"] = _dense_kernel(v)
+                if idx == "0" and v.shape[1] % 49 == 0:
+                    # classifier.0 consumes the FLATTENED 7x7 feature map.
+                    # torch flattens NCHW (rows ordered c*49+h*7+w); our flax
+                    # head flattens NHWC (h*7*C + w*C + c) — reorder the input
+                    # axis or the loaded fc0 silently mixes channels/positions.
+                    c = v.shape[1] // 49
+                    v = (v.reshape(v.shape[0], c, 7, 7)
+                          .transpose(2, 3, 1, 0)      # (H, W, C, out)
+                          .reshape(49 * c, v.shape[0]))
+                    params[f"fc{idx}/kernel"] = v
+                else:
+                    params[f"fc{idx}/kernel"] = _dense_kernel(v)
             else:
                 params[f"fc{idx}/bias"] = v
     return params, stats

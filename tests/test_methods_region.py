@@ -57,10 +57,9 @@ def test_nts_ranking_hinge():
 def test_s3n_fused_warp_pass_equivalence():
     """fused_warp_pass concatenates the zoom+inverse views into one backbone
     call. Same params, eval mode (BN running stats): outputs must be
-    identical to the two-pass form; train mode must stay finite (BN batch
-    stats pool over both views there — the documented delta)."""
+    identical to the two-pass form; train mode must stay finite."""
     cfg = ConfigNode({"num_classes": 4, "image_size": 64,
-                      "backbone": "resnet18"})
+                      "backbone": "resnet18", "fused_warp_pass": False})
     base = MODEL.get("S3N")(cfg)
     fused = MODEL.get("S3N")(ConfigNode({**cfg.to_dict(),
                                          "fused_warp_pass": True}))
@@ -76,6 +75,38 @@ def test_s3n_fused_warp_pass_equivalence():
     out_t, _ = fused.apply(v, x, train=True, p=1, mutable=["batch_stats"],
                            rngs={"dropout": jax.random.PRNGKey(2)})
     assert np.isfinite(np.asarray(out_t["logits"], np.float32)).all()
+
+
+def test_s3n_fused_warp_pass_train_mode_exact():
+    """TRAIN-mode parity of the fused pass (round-4: GroupedBatchNorm makes
+    per-view BN statistics exact inside the single 2B-batch call, restoring
+    the reference's separate-pass semantics, S3N.py:292-315). Outputs AND
+    the updated running statistics must match the two-pass path."""
+    from hawkeye_tpu.models.methods.s3n import S3N
+
+    kw = dict(num_classes=4, image_size=64, backbone_name="resnet18",
+              dtype=jnp.float32)
+    base = S3N(fused_warp_pass=False, **kw)
+    fused = S3N(fused_warp_pass=True, **kw)
+    x = jnp.asarray(np.random.RandomState(3).rand(4, 64, 64, 3), jnp.float32)
+    v = base.init({"params": jax.random.PRNGKey(0),
+                   "dropout": jax.random.PRNGKey(1)}, x, train=True, p=0)
+    out_a, mut_a = base.apply(v, x, train=True, p=0,
+                              mutable=["batch_stats"],
+                              rngs={"dropout": jax.random.PRNGKey(2)})
+    out_b, mut_b = fused.apply(v, x, train=True, p=0,
+                               mutable=["batch_stats"],
+                               rngs={"dropout": jax.random.PRNGKey(2)})
+    for k in out_a:
+        np.testing.assert_allclose(np.asarray(out_a[k], np.float32),
+                                   np.asarray(out_b[k], np.float32),
+                                   rtol=1e-5, atol=1e-5, err_msg=k)
+    flat_a = jax.tree_util.tree_leaves_with_path(mut_a["batch_stats"])
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(mut_b["batch_stats"]))
+    for path, leaf in flat_a:
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat_b[path]),
+            rtol=1e-5, atol=1e-6, err_msg=str(path))
 
 
 def test_s3n_phases_and_loss():
