@@ -20,8 +20,11 @@ class MGETrainer(Trainer):
 
     def get_param_groups(self):
         lr_rate = float(self.config.train.optimizer.get("lr_rate", 0.1))
+        # extractor prefixes for both layouts: fused (stacked "backbones")
+        # and sequential ("expert_i/backbone" + "gate_backbone")
         rules = {f"expert_{i}.backbone": "extractor" for i in range(3)}
         rules["gate_backbone"] = "extractor"
+        rules["backbones"] = "extractor"
         return make_prefix_labeler(rules, default="classifier"), {
             "extractor": lr_rate, "classifier": 1.0}
 

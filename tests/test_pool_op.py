@@ -19,7 +19,10 @@ def naive(x):
 
 # force_argmax=True pins the argmax-index custom-VJP formulation (the path
 # the TPU Pallas kernels implement); False takes the default dispatch, which
-# off-TPU is plain relu→max_pool. Both must agree bit-for-bit.
+# off-TPU is plain relu→max_pool. Both must agree bit-for-bit. NOTE: on CPU
+# the "dispatch" param lowers to the same relu+reduce_window as naive(), so
+# its equality asserts are near-tautological there — it's a dispatch smoke
+# test; only "argmax" exercises the custom-VJP formulation off-TPU.
 @pytest.fixture(params=[False, True], ids=["dispatch", "argmax"])
 def force_argmax(request, monkeypatch):
     monkeypatch.setattr(pool, "FORCE_LAX", request.param)

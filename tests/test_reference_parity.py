@@ -534,7 +534,7 @@ def test_mge_forward_parity():
     from refutil import mge_expert_flat
 
     fmodel = MGECNN(num_classes=5, image_size=224, box_thred=0.3,
-                    dtype=jnp.float32)
+                    dtype=jnp.float32, fused_experts=False)
     x = _x(b=2, s=224, seed=17)
     variables = fmodel.init(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
@@ -556,10 +556,10 @@ def test_mge_forward_parity():
         ep, es = mge_expert_flat(sd, p4, p5, fp)
         flat_p.update(ep)
         flat_s.update(es)
-        dense(flat_p, f"expert_{i}/classifier", sd, heads["classifier"])
-        conv(flat_p, f"expert_{i}/conv6", sd, heads["conv6"])
-        dense(flat_p, f"expert_{i}/cls_part", sd, heads["cls_part"])
-        dense(flat_p, f"expert_{i}/cls_cat", sd, heads["cls_cat"])
+        dense(flat_p, f"expert_{i}/head/classifier", sd, heads["classifier"])
+        conv(flat_p, f"expert_{i}/head/conv6", sd, heads["conv6"])
+        dense(flat_p, f"expert_{i}/head/cls_part", sd, heads["cls_part"])
+        dense(flat_p, f"expert_{i}/head/cls_cat", sd, heads["cls_cat"])
     gp, gs = mge_expert_flat(sd, "conv4_gate.", "conv5_gate.",
                              "gate_backbone/")
     flat_p.update(gp)
@@ -578,6 +578,17 @@ def test_mge_forward_parity():
                                    atol=5e-3, err_msg=f"logit set {i}")
     np.testing.assert_allclose(np.asarray(out["pr_gate"]),
                                r_out["pr_gate"].numpy(), rtol=RTOL, atol=1e-4)
+
+    # fused layout (opt-in): the same weights stacked through the 4-wide
+    # vmapped pass must reproduce the reference logits too
+    from hawkeye_tpu.models.methods.mge import stack_expert_variables
+
+    fused = MGECNN(num_classes=5, image_size=224, box_thred=0.3,
+                   dtype=jnp.float32, fused_experts=True)
+    fout = fused.apply(stack_expert_variables(variables), jnp.asarray(x),
+                       train=False)
+    np.testing.assert_allclose(np.asarray(fout["all_logits"]), mine_all,
+                               rtol=1e-5, atol=2e-4)
 
 
 # ---------------------------------------------------------------------------
