@@ -102,7 +102,7 @@ def measure_train(model, B, S, steps, warmup, *, remat=False, no_aug=False,
     # casts to bf16 internally anyway
     augment = make_train_augment(image_size=S, out_dtype=jnp.bfloat16)
 
-    def loss_fn(params, batch_stats, x, y):
+    def loss_fn(params, batch_stats, x, y, drop_key):
         variables = {"params": params}
         if has_bn:
             variables["batch_stats"] = batch_stats
@@ -110,8 +110,12 @@ def measure_train(model, B, S, steps, warmup, *, remat=False, no_aug=False,
                                    mutable=["batch_stats"])
             new_stats = mut["batch_stats"]
         else:
+            # the dropout key must be an ARGUMENT: creating PRNGKey(0) at
+            # trace time materializes a constant on the ambient (axon)
+            # backend, which poisons _step_flops' CPU lowering (this was
+            # the null bcnn_mfu)
             out = model.apply(variables, x, train=True,
-                              rngs={"dropout": jax.random.PRNGKey(0)})
+                              rngs={"dropout": drop_key})
             new_stats = batch_stats
         loss = optax.softmax_cross_entropy_with_integer_labels(
             out["logits"], y).mean()
@@ -131,12 +135,13 @@ def measure_train(model, B, S, steps, warmup, *, remat=False, no_aug=False,
     donate_argnums = (0, 1, 2) if donate else ()
 
     def train_step_body(params, batch_stats, opt_state, key, raw_u8, labels):
+        key, drop_key = jax.random.split(key)
         if no_aug:
             x = raw_u8[:, :S, :S, :].astype(jnp.float32) / 255.0
         else:
             x = augment(key, raw_u8)
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, batch_stats, x, labels)
+            params, batch_stats, x, labels, drop_key)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, new_stats, opt_state, loss

@@ -32,7 +32,10 @@ from flax.linen import dtypes as _dtypes
 class GroupedBatchNorm(nn.Module):
     """Drop-in BatchNorm whose train-mode statistics are computed per batch
     group. ``groups`` must evenly divide the batch; group ``i`` is rows
-    ``[i*B/G, (i+1)*B/G)``. Eval mode ignores grouping (running stats)."""
+    ``[i*B/G, (i+1)*B/G)``. For UNEQUAL contiguous groups (e.g. NTS-Net's
+    fused global+parts pass: sizes ``(B, B*M)``), set ``group_sizes``
+    instead — it overrides ``groups``. Eval mode ignores grouping (running
+    stats)."""
 
     use_running_average: bool = False
     momentum: float = 0.9
@@ -41,6 +44,7 @@ class GroupedBatchNorm(nn.Module):
     param_dtype: Any = jnp.float32
     axis_name: str | None = None
     groups: int = 1
+    group_sizes: tuple | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -69,8 +73,10 @@ class GroupedBatchNorm(nn.Module):
             return affine(x, ra_mean.value.reshape(fshape),
                           ra_var.value.reshape(fshape))
 
-        g = int(self.groups)
         b = x.shape[0]
+        if self.group_sizes is not None:
+            return self._unequal_groups(x, ra_mean, ra_var, affine)
+        g = int(self.groups)
         assert b % g == 0, f"batch {b} not divisible by bn groups {g}"
         xf = x.astype(jnp.promote_types(x.dtype, jnp.float32))
         xg = xf.reshape((g, b // g) + x.shape[1:])
@@ -94,3 +100,42 @@ class GroupedBatchNorm(nn.Module):
         gshape = (g,) + (1,) * (xg.ndim - 2) + (feat,)
         yg = affine(xg, mu.reshape(gshape), var.reshape(gshape))
         return yg.reshape(x.shape)
+
+    def _unequal_groups(self, x, ra_mean, ra_var, affine):
+        """Per-group stats over static contiguous slices of unequal sizes.
+
+        Group ``i`` is rows ``[sum(sizes[:i]), sum(sizes[:i+1]))``; each is
+        normalized with its own statistics and the running average folds
+        sequentially in group order — identical to running the groups as
+        separate passes (the reference's NTS-Net global-then-parts order,
+        ``model/methods/NTS_Net/NTSNet.py:43-57``)."""
+        sizes = tuple(int(s) for s in self.group_sizes)
+        assert sum(sizes) == x.shape[0], \
+            f"group_sizes {sizes} don't sum to batch {x.shape[0]}"
+        xf = x.astype(jnp.promote_types(x.dtype, jnp.float32))
+        axes = tuple(range(xf.ndim - 1))  # all but feature
+        mus, var_list, ys = [], [], []
+        off = 0
+        for s in sizes:
+            xs = xf[off:off + s]
+            off += s
+            mu = xs.mean(axes)
+            mu2 = jnp.square(xs).mean(axes)
+            if self.axis_name is not None and not self.is_initializing():
+                stacked = lax.pmean(jnp.stack([mu, mu2], 0), self.axis_name)
+                mu, mu2 = stacked[0], stacked[1]
+            var = jnp.maximum(mu2 - jnp.square(mu), 0.0)
+            mus.append(mu)
+            var_list.append(var)
+            fshape = (1,) * (xs.ndim - 1) + (x.shape[-1],)
+            ys.append(affine(xs, mu.reshape(fshape), var.reshape(fshape)))
+
+        if not self.is_initializing():
+            m = jnp.asarray(self.momentum, jnp.float32)
+            rm, rv = ra_mean.value, ra_var.value
+            for mu, var in zip(mus, var_list):
+                rm = m * rm + (1.0 - m) * mu
+                rv = m * rv + (1.0 - m) * var
+            ra_mean.value = rm
+            ra_var.value = rv
+        return jnp.concatenate(ys, axis=0)

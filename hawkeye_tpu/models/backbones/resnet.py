@@ -182,8 +182,11 @@ class ResNet(nn.Module):
     grouped_bn: bool = False
 
     @nn.compact
-    def __call__(self, x, train: bool = False, bn_groups: int = 1):
+    def __call__(self, x, train: bool = False, bn_groups=1):
+        # bn_groups: int G (equal contiguous groups) or tuple of group sizes
+        # (unequal, e.g. NTS-Net's fused (B, B*M) global+parts pass)
         if self.grouped_bn:
+            by_sizes = isinstance(bn_groups, (tuple, list))
             norm = partial(
                 GroupedBatchNorm,
                 use_running_average=not train,
@@ -192,7 +195,8 @@ class ResNet(nn.Module):
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 axis_name=self.bn_cross_replica_axis,
-                groups=bn_groups,
+                groups=1 if by_sizes else bn_groups,
+                group_sizes=tuple(bn_groups) if by_sizes else None,
             )
         else:
             assert bn_groups == 1, "bn_groups>1 needs grouped_bn=True"

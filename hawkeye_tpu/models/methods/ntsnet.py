@@ -14,6 +14,21 @@ adjacency is a baked constant and suppression is a masked-argmax
 ``fori_loop`` on device; the M crops are ONE batched multi-box MXU resample
 (``ops/resample.crop_resize_multibox``) — no host round trip, no Python
 loops, one compiled program.
+
+Fused part pass (``fused_part_pass``, default ON when the recipe's
+``image_size == part_size``): the reference runs the backbone twice per
+step — global batch B, then the B·M part crops (``NTSNet.py:43-57``) — and
+at the recipe's bs4 the global pass badly underfills the MXU. Since the
+part crops are detached (``part_imgs.detach()``) and the proposal scores
+consume a detached c5, the only live data dependency is the global FORWARD
+→ crop boxes. So: phase A runs one stop-gradient global forward just to
+derive the boxes, and phase B runs ONE (B + B·M)-batch backbone call over
+``[x, parts]`` — same weights, so a straight concat (no vmap). Exactness in
+train mode comes from ``GroupedBatchNorm(group_sizes=(B, B·M))``: per-view
+batch statistics + the sequential running-average fold, identical to the
+reference's two-pass order; dropout draws keep the sequential path's call
+order. Parity (logits / BN stats / grads) is pinned by
+``tests/test_ntsnet_fused.py``.
 """
 
 from __future__ import annotations
@@ -99,10 +114,12 @@ class NTSNet(nn.Module):
     iou_thresh: float = 0.25
     backbone_name: str = "resnet50"
     dtype: Any = jnp.bfloat16
+    fused_part_pass: bool = True
 
     def setup(self):
         self.backbone = BACKBONE.get(self.backbone_name)(
-            num_classes=0, dtype=self.dtype, name="backbone")
+            num_classes=0, dtype=self.dtype, grouped_bn=True,
+            name="backbone")
         self.fc = nn.Dense(self.num_classes, dtype=jnp.float32, name="fc")
         self.proposal_net = ProposalNet(dtype=self.dtype, name="proposal_net")
         self.concat_net = nn.Dense(self.num_classes, dtype=jnp.float32,
@@ -117,12 +134,25 @@ class NTSNet(nn.Module):
         self._edge_anchors = jnp.asarray(edge)
         self._adjacency = jnp.asarray(anchor_adjacency(edge, self.iou_thresh))
 
+    @nn.compact
     def __call__(self, x, train: bool = False):
-        stages = self.backbone(x, train=train)
-        feature = self.drop(stages["pool"], deterministic=not train)
-        raw_logits = self.fc(feature)
+        # (@nn.compact so _phase_a_c5 may construct its free functional
+        # backbone clone; all parameterized submodules stay setup-defined)
+        # the fused restructure needs the global and part views to share one
+        # spatial shape; init always takes the sequential path (same
+        # submodules, same param tree — GroupedBatchNorm(groups=1) params
+        # are identical to BatchNorm's)
+        if (self.fused_part_pass and self.image_size == self.part_size
+                and not self.is_initializing()):
+            return self._fused(x, train)
+        return self._sequential(x, train)
 
-        rpn_scores = self.proposal_net(jax.lax.stop_gradient(stages["c5"]))
+    def _propose(self, x, c5):
+        """ProposalNet scores → NMS top-M → batched MXU crop. Consumes a
+        DETACHED c5 (reference NTSNet.py:37: proposal input detached);
+        returns the differentiable score gather (navigator gradient) and the
+        detached part crops."""
+        rpn_scores = self.proposal_net(jax.lax.stop_gradient(c5))
         top_idx, _ = nms_fixed_anchors_batch(
             jax.lax.stop_gradient(rpn_scores), self._adjacency,
             self.proposal_num)  # [B, M]
@@ -141,24 +171,78 @@ class NTSNet(nn.Module):
         parts = crop_resize_multibox(x_pad, byxhw, self.part_size,
                                      self.part_size,
                                      align_corners=True)  # [B, M, s, s, 3]
-        parts = jax.lax.stop_gradient(parts)
-        b, m = parts.shape[:2]
-        part_stages = self.backbone(
-            parts.reshape(b * m, self.part_size, self.part_size, 3), train=train)
-        part_features = self.drop(part_stages["pool"],
-                                  deterministic=not train).reshape(b, m, -1)
+        return top_prob, jax.lax.stop_gradient(parts)
 
+    def _heads(self, feature, part_features, raw_logits, top_prob):
+        b, m = part_features.shape[:2]
         cat_feat = part_features[:, :self.cat_num].reshape(b, -1)
         concat_logits = self.concat_net(
             jnp.concatenate([cat_feat, feature], axis=1))
         part_logits = self.partcls_net(part_features)  # [B, M, C]
-
         return {
             "logits": concat_logits,
             "raw_logits": raw_logits,
             "part_logits": part_logits,
             "top_prob": top_prob,
         }
+
+    def _sequential(self, x, train):
+        """The reference's two-pass formulation (NTSNet.py:30-57)."""
+        stages = self.backbone(x, train=train)
+        feature = self.drop(stages["pool"], deterministic=not train)
+        raw_logits = self.fc(feature)
+
+        top_prob, parts = self._propose(x, stages["c5"])
+        b, m = parts.shape[:2]
+        part_stages = self.backbone(
+            parts.reshape(b * m, self.part_size, self.part_size, 3),
+            train=train)
+        part_features = self.drop(part_stages["pool"],
+                                  deterministic=not train).reshape(b, m, -1)
+        return self._heads(feature, part_features, raw_logits, top_prob)
+
+    def _fused(self, x, train):
+        """Phase A: one stop-gradient global forward → crop boxes. Phase B:
+        ONE (B + B·M)-batch backbone call with per-view BN statistics
+        (group_sizes) — recomputes the global forward bit-for-bit (same
+        weights, same input, same per-view stats), so logits, gradients and
+        BN statistic updates all match ``_sequential`` exactly."""
+        b = x.shape[0]
+        c5_a = self._phase_a_c5(x, train)
+        top_prob, parts = self._propose(x, c5_a)
+        m = parts.shape[1]
+        fused_in = jnp.concatenate([
+            x, parts.reshape(b * m, self.part_size, self.part_size, 3)], 0)
+        stages = self.backbone(fused_in, train=train,
+                               bn_groups=(b, b * m) if train else 1)
+        pool = stages["pool"]
+        # dropout draw order matches _sequential (global first, then parts)
+        feature = self.drop(pool[:b], deterministic=not train)
+        raw_logits = self.fc(feature)
+        part_features = self.drop(pool[b:],
+                                  deterministic=not train).reshape(b, m, -1)
+        return self._heads(feature, part_features, raw_logits, top_prob)
+
+    @nn.nowrap
+    def _phase_a_c5(self, x, train):
+        """Detached global forward through c5, for the crop boxes only.
+
+        Runs the backbone functionally on its extracted variables; train-mode
+        BN normalization (matching what the sequential global pass computes),
+        mutated statistics DISCARDED — phase B recomputes the identical
+        forward and owns the statistics update."""
+        cols = {"params": jax.lax.stop_gradient(
+            self.variables["params"]["backbone"])}
+        if "batch_stats" in self.variables:
+            cols["batch_stats"] = self.variables["batch_stats"]["backbone"]
+        free = BACKBONE.get(self.backbone_name)(
+            num_classes=0, dtype=self.dtype, grouped_bn=True)
+        if train:
+            stages, _ = free.apply(cols, x, train=True,
+                                   mutable=["batch_stats"])
+        else:
+            stages = free.apply(cols, x, train=False)
+        return jax.lax.stop_gradient(stages["c5"])
 
 
 @MODEL.register(name="NTSNet")
@@ -169,4 +253,9 @@ def build_ntsnet(config):
         cat_num=int(config.get("cat_num", 4)),
         image_size=int(config.get("image_size", 448)),
         backbone_name=config.get("backbone", "resnet50"),
+        fused_part_pass=bool(config.get("fused_part_pass", True)),
+        # reference fixes both at 224 (NTSNet.py:26, :47); overridable for
+        # small-shape tests and the multichip dryrun
+        part_size=int(config.get("part_size", 224)),
+        pad_side=int(config.get("pad_side", 224)),
     )

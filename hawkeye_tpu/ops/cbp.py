@@ -20,6 +20,18 @@ TPU design deltas:
   position. The math is identical to the reference order (sum of per-
   position products: the product is still taken per position, only the
   inverse transform of the pooled spectrum is shared).
+- Gram-form contraction (round 4, default): the pooled spectrum is a
+  quadratic form in the Gram matrix —
+
+      V̂[f] = Σ_p (x_pᵀ ŝ1[:,f]) (x_pᵀ ŝ2[:,f]) = ŝ1[:,f]ᵀ M ŝ2[:,f],
+      M = Σ_p x_p x_pᵀ   (the plain bilinear-pool Gram, [C, C])
+
+  so when C < H·W (CBCNN recipe: C=512, HW=784, K=3001) the per-position
+  projections never need materializing: one [B,C,C] Gram matmul (6.6 GF)
+  + complex [B,C,C]@[C,K] (50 GF) + a cheap per-frequency contraction
+  replace four [B·HW,C]@[C,K] matmuls (154 GF) and their 600 MB of
+  [B,HW,K] intermediates. Same function, bit-comparable output (both
+  orders accumulate in f32), identical gradients by linearity.
 """
 
 from __future__ import annotations
@@ -44,11 +56,15 @@ def make_sketch_matrix(in_dim: int, out_dim: int, seed_h: int, seed_s: int,
 
 
 def compact_bilinear_pool(features, sketch1, sketch2, *, signed_sqrt=True,
-                          l2_normalize=True, eps=1e-10):
+                          l2_normalize=True, eps=1e-10, via_gram=True):
     # eps default matches the reference's signed sqrt (CBCNN.py:133)
     """[B, H, W, C] → [B, d] compact bilinear descriptor.
 
     sketch1/sketch2: [C, d] dense count-sketch matrices (jnp arrays).
+    ``via_gram`` picks the Gram-form contraction (module docstring) — the
+    same function with ~2.7× fewer FLOPs when C < H·W; set False for the
+    per-position formulation (the direct transcription, kept as the parity
+    oracle and for C ≫ H·W shapes).
     """
     b, h, w, c = features.shape
     d = sketch1.shape[1]
@@ -56,11 +72,23 @@ def compact_bilinear_pool(features, sketch1, sketch2, *, signed_sqrt=True,
     # rfft of the FIXED sketches (constant-folded under jit): [C, d//2+1]
     fs1 = jnp.fft.rfft(sketch1.astype(jnp.float32), axis=-1)
     fs2 = jnp.fft.rfft(sketch2.astype(jnp.float32), axis=-1)
-    f1r, f1i = x @ fs1.real, x @ fs1.imag  # [B, HW, K]  (MXU)
-    f2r, f2i = x @ fs2.real, x @ fs2.imag
-    # per-position complex product, sum-pooled over positions
-    sr = (f1r * f2r - f1i * f2i).sum(axis=1)  # [B, K]
-    si = (f1r * f2i + f1i * f2r).sum(axis=1)
+    if via_gram:
+        gram = jax.lax.dot_general(
+            x, x, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)  # [B, C, C]
+        wr = gram @ fs2.real  # [B, C, K]  (MXU)
+        wi = gram @ fs2.imag
+        # V̂[f] = ŝ1[:,f]ᵀ (M ŝ2[:,f]): contraction over C, frequency-batched
+        sr = jnp.einsum("ck,bck->bk", fs1.real, wr) - \
+            jnp.einsum("ck,bck->bk", fs1.imag, wi)
+        si = jnp.einsum("ck,bck->bk", fs1.real, wi) + \
+            jnp.einsum("ck,bck->bk", fs1.imag, wr)
+    else:
+        f1r, f1i = x @ fs1.real, x @ fs1.imag  # [B, HW, K]  (MXU)
+        f2r, f2i = x @ fs2.real, x @ fs2.imag
+        # per-position complex product, sum-pooled over positions
+        sr = (f1r * f2r - f1i * f2i).sum(axis=1)  # [B, K]
+        si = (f1r * f2i + f1i * f2r).sum(axis=1)
     v = jnp.fft.irfft(jax.lax.complex(sr, si), n=d, axis=-1)  # [B, d]
     if signed_sqrt:
         v = jnp.sign(v) * jnp.sqrt(jnp.abs(v) + eps)

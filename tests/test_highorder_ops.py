@@ -79,6 +79,38 @@ def test_cbp_shapes_and_norm():
                                rtol=1e-4)
 
 
+def test_cbp_gram_form_matches_positionwise():
+    """The Gram-form contraction (via_gram=True, the default) is the same
+    function as the per-position spectral product — values and gradients."""
+    rng = np.random.RandomState(2)
+    c, d = 24, 128
+    s1 = jnp.asarray(make_sketch_matrix(c, d, 1, 3))
+    s2 = jnp.asarray(make_sketch_matrix(c, d, 5, 7))
+    x = jnp.asarray(rng.rand(3, 5, 7, c) - 0.3, jnp.float32)
+
+    # raw descriptor: both orders are the same linear-algebraic function,
+    # strict f32 closeness
+    def raw(x, via):
+        return compact_bilinear_pool(x, s1, s2, via_gram=via,
+                                     signed_sqrt=False, l2_normalize=False)
+
+    vg, vp = raw(x, True), raw(x, False)
+    np.testing.assert_allclose(np.asarray(vg), np.asarray(vp),
+                               rtol=1e-5, atol=1e-4)
+    gg = jax.grad(lambda x: (raw(x, True) ** 2).sum())(x)
+    gp = jax.grad(lambda x: (raw(x, False) ** 2).sum())(x)
+    np.testing.assert_allclose(np.asarray(gg), np.asarray(gp),
+                               rtol=1e-4, atol=1e-4)
+
+    # full epilogue: signed-sqrt has unbounded slope at 0, so f32 reorder
+    # noise on near-zero bins blows up RELATIVE error — check absolute
+    def full(x, via):
+        return compact_bilinear_pool(x, s1, s2, via_gram=via)
+
+    np.testing.assert_allclose(np.asarray(full(x, True)),
+                               np.asarray(full(x, False)), atol=5e-4)
+
+
 def test_covariance_pool_oracle():
     rng = np.random.RandomState(0)
     x = rng.rand(2, 3, 4, 5).astype(np.float32)
