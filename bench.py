@@ -52,7 +52,12 @@ def _step_flops(fn, abstract):
         # the same model flop count (pools are flop-negligible)
         pool.FORCE_LAX = True
         try:
-            stats = jax.jit(fn, device=cpu).lower(*abstract).cost_analysis()
+            # fresh wrapper function: pjit's jaxpr-tracing cache keys on the
+            # callable object + avals (NOT the device), so jitting `fn`
+            # itself would reuse the TPU-traced jaxpr — whose pallas_call
+            # cannot lower on CPU (this was the null bcnn_mfu)
+            stats = (jax.jit(lambda *a: fn(*a), device=cpu)
+                     .lower(*abstract).cost_analysis())
         finally:
             pool.FORCE_LAX = False
         if isinstance(stats, (list, tuple)):
@@ -60,6 +65,9 @@ def _step_flops(fn, abstract):
         flops = float(stats.get("flops", 0.0))
         return flops if flops > 0 else None
     except Exception:
+        if os.environ.get("HAWKEYE_BENCH_DEBUG"):
+            import traceback
+            traceback.print_exc()
         return None
 
 

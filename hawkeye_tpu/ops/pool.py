@@ -70,15 +70,15 @@ def _pool_fwd_impl(x):
 
 # Force the lax argmax formulation everywhere (tests; bench.py's FLOPs
 # estimator, which lowers the train step against the local CPU backend for
-# HLO cost analysis where the TPU Pallas kernels cannot lower).
-#
-# ORDERING CONSTRAINT: this is a module global read at TRACE time, and jit
-# trace caches do not key on it — a function traced while the flag is
-# toggled keeps that path for the life of its cache entry. Only flip it
-# (a) before the affected functions are first traced, or (b) around a
-# lowering/tracing call that never executes (bench.py's cost analysis,
-# which now runs AFTER every timed loop so no live trace can observe the
-# toggle). Never flip it mid-benchmark.
+# HLO cost analysis where the TPU Pallas kernels cannot lower). Read at
+# TRACE time in ``relu_maxpool2x2``'s dispatch only — the Pallas and lax
+# formulations are two DISTINCT custom_vjp objects below, so JAX's
+# custom-derivative jaxpr cache (keyed on the callable + avals, blind to
+# module globals) can never serve a Pallas-bearing jaxpr to a trace made
+# while this flag is set. (Round-4 finding: with a single shared custom_vjp
+# object, bench.py's CPU cost-analysis lowering at the same avals as the
+# TPU run reused the cached TPU jaxpr and died on the pallas_call — the
+# null bcnn_mfu.)
 FORCE_LAX = False
 
 
@@ -109,26 +109,36 @@ def relu_maxpool2x2(x):
     # the last row/col instead of erroring
     h, w = x.shape[1], x.shape[2]
     assert h % 2 == 0 and w % 2 == 0, f"odd spatial dims {h}x{w}"
-    if FORCE_LAX or _use_pallas(x):
-        return _relu_maxpool2x2_argmax(x)
+    if FORCE_LAX:
+        return _argmax_pool_lax(x)
+    if _use_pallas(x):
+        return _argmax_pool_pallas(x)
     r = jnp.maximum(x, jnp.zeros((), x.dtype))
     return jax.lax.reduce_window(r, -jnp.inf, jax.lax.max,
                                  (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
 
 
 @jax.custom_vjp
-def _relu_maxpool2x2_argmax(x):
-    """The argmax-index formulation (Pallas on TPU, lax elsewhere)."""
-    return _pool_fwd(x)[0]
+def _argmax_pool_pallas(x):
+    """Argmax-index formulation, Pallas TPU kernels both directions."""
+    return _pool_fwd_pallas(x)[0]
 
 
-def _pool_fwd(x):
-    if _use_pallas(x):
-        from . import pallas_pool
+@jax.custom_vjp
+def _argmax_pool_lax(x):
+    """Argmax-index formulation, pure lax (parity tests, cost analysis)."""
+    return _pool_fwd_lax(x)[0]
 
-        p, idx = pallas_pool.pool_fwd(x)
-    else:
-        p, idx = _pool_fwd_impl(x)
+
+def _pool_fwd_pallas(x):
+    from . import pallas_pool
+
+    p, idx = pallas_pool.pool_fwd(x)
+    return p, (idx, p)
+
+
+def _pool_fwd_lax(x):
+    p, idx = _pool_fwd_impl(x)
     return p, (idx, p)
 
 
@@ -140,14 +150,18 @@ def _up2(a):
     return a6.reshape(b, 2 * h2, 2 * w2, c)
 
 
-def _pool_bwd(res, dp):
+def _pool_bwd_pallas(res, dp):
     idx, p = res
     b, h2, w2, c = dp.shape
     from . import pallas_pool
 
-    if (not FORCE_LAX and jax.default_backend() == "tpu"
-            and pallas_pool.supports((b, 2 * h2, 2 * w2, c), dp.dtype)):
+    if pallas_pool.supports((b, 2 * h2, 2 * w2, c), dp.dtype):
         return (pallas_pool.pool_bwd(dp, idx, p),)
+    return _pool_bwd_lax(res, dp)
+
+
+def _pool_bwd_lax(res, dp):
+    idx, p = res
     g = jnp.where(p > 0, dp, jnp.zeros((), dp.dtype))
     gu = _up2(g)
     iu = _up2(idx)
@@ -160,4 +174,5 @@ def _pool_bwd(res, dp):
     return (dx,)
 
 
-_relu_maxpool2x2_argmax.defvjp(_pool_fwd, _pool_bwd)
+_argmax_pool_pallas.defvjp(_pool_fwd_pallas, _pool_bwd_pallas)
+_argmax_pool_lax.defvjp(_pool_fwd_lax, _pool_bwd_lax)
