@@ -58,7 +58,8 @@ def method_step_flops(method, batch_size=None):
     lr = jax.numpy.asarray(1e-4, jax.numpy.float32)
     args = (trainer.state, device_batch, lr, *trainer.step_extras())
     abstract = jax.tree.map(
-        lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), args)
+        lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype),
+        args)
     step = trainer.train_step_body()
     stats = jax.jit(step).lower(*abstract).cost_analysis()
     if isinstance(stats, (list, tuple)):

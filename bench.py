@@ -85,7 +85,7 @@ def build_model(name, stem_s2d):
 
 
 def measure_train(model, B, S, steps, warmup, *, remat=False, no_aug=False,
-                  donate=True, real_batch=None):
+                  donate=True, real_batch=None, profile_dir=None):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -182,6 +182,10 @@ def measure_train(model, B, S, steps, warmup, *, remat=False, no_aug=False,
             params, batch_stats, opt_state, k, raw, labels)
     warm_loss = float(loss)
 
+    if profile_dir:
+        # capture the steady-state timed loop itself (tools/xplane_table.py
+        # turns the .xplane.pb into the per-fusion roofline table)
+        jax.profiler.start_trace(profile_dir)
     t0 = time.perf_counter()
     for _ in range(steps):
         key, k = jax.random.split(key)
@@ -189,6 +193,8 @@ def measure_train(model, B, S, steps, warmup, *, remat=False, no_aug=False,
             params, batch_stats, opt_state, k, raw, labels)
     final_loss = float(loss)
     dt = time.perf_counter() - t0
+    if profile_dir:
+        jax.profiler.stop_trace()
     if final_loss == warm_loss:
         raise RuntimeError("loss did not change over the timed steps — "
                            "suspected runtime replay; measurement invalid")
@@ -352,6 +358,10 @@ def main():
     parser.add_argument("--no-train-step", action="store_true",
                         help="--host-pipeline: skip the device train step "
                         "(loader-only measurement, no TPU needed)")
+    parser.add_argument("--profile", default=None, metavar="DIR",
+                        help="capture a jax.profiler trace of the timed "
+                        "train loop (single-model mode only); feed the DIR "
+                        "to tools/xplane_table.py for the per-fusion table")
     args = parser.parse_args()
     if args.quick:
         args.steps, args.warmup = 5, 2
@@ -377,7 +387,8 @@ def main():
         model = build_model(name, stem_s2d)
         img_s, mfu_thunk = measure_train(model, B, S, args.steps, args.warmup,
                                          remat=args.remat, no_aug=args.no_aug,
-                                         donate=not args.no_donate)
+                                         donate=not args.no_donate,
+                                         profile_dir=args.profile)
         mfu = mfu_thunk()  # AFTER the timed loop (see _step_flops)
         print(json.dumps({
             "metric": f"{name}_448_train_images_per_sec_per_chip",

@@ -15,20 +15,26 @@ adjacency is a baked constant and suppression is a masked-argmax
 (``ops/resample.crop_resize_multibox``) — no host round trip, no Python
 loops, one compiled program.
 
-Fused part pass (``fused_part_pass``, default ON when the recipe's
-``image_size == part_size``): the reference runs the backbone twice per
-step — global batch B, then the B·M part crops (``NTSNet.py:43-57``) — and
-at the recipe's bs4 the global pass badly underfills the MXU. Since the
-part crops are detached (``part_imgs.detach()``) and the proposal scores
-consume a detached c5, the only live data dependency is the global FORWARD
-→ crop boxes. So: phase A runs one stop-gradient global forward just to
-derive the boxes, and phase B runs ONE (B + B·M)-batch backbone call over
+Fused part pass (``fused_part_pass``, OPT-IN, measured a loss at the
+recipe shape): the reference runs the backbone twice per step — global
+batch B, then the B·M part crops (``NTSNet.py:43-57``). Since the part
+crops are detached (``part_imgs.detach()``) and the proposal scores consume
+a detached c5, the only live data dependency is the global FORWARD → crop
+boxes. So: phase A runs one stop-gradient global forward just to derive the
+boxes, and phase B runs ONE (B + B·M)-batch backbone call over
 ``[x, parts]`` — same weights, so a straight concat (no vmap). Exactness in
 train mode comes from ``GroupedBatchNorm(group_sizes=(B, B·M))``: per-view
 batch statistics + the sequential running-average fold, identical to the
 reference's two-pass order; dropout draws keep the sequential path's call
 order. Parity (logits / BN stats / grads) is pinned by
 ``tests/test_ntsnet_fused.py``.
+
+Default OFF: the TPU A/B at the recipe shape (224², bs4, M=6) measured
+254.6 img/s sequential vs 164.6 fused — the duplicated phase-A forward
+(+B images of forward work) and the unequal-group BN reductions cost more
+than the (B+B·M)-batch MXU-fill win pays back, unlike S3N's fused warp pass
+where the views need no extra forward. Kept as a knob because the balance
+shifts with B·M (larger part counts amortize phase A).
 """
 
 from __future__ import annotations
@@ -114,7 +120,7 @@ class NTSNet(nn.Module):
     iou_thresh: float = 0.25
     backbone_name: str = "resnet50"
     dtype: Any = jnp.bfloat16
-    fused_part_pass: bool = True
+    fused_part_pass: bool = False
 
     def setup(self):
         self.backbone = BACKBONE.get(self.backbone_name)(
@@ -253,7 +259,7 @@ def build_ntsnet(config):
         cat_num=int(config.get("cat_num", 4)),
         image_size=int(config.get("image_size", 448)),
         backbone_name=config.get("backbone", "resnet50"),
-        fused_part_pass=bool(config.get("fused_part_pass", True)),
+        fused_part_pass=bool(config.get("fused_part_pass", False)),
         # reference fixes both at 224 (NTSNet.py:26, :47); overridable for
         # small-shape tests and the multichip dryrun
         part_size=int(config.get("part_size", 224)),
