@@ -31,11 +31,14 @@ class CBCNN(nn.Module):
         self.backbone = BACKBONE.get(self.backbone_name)(
             num_classes=0, dtype=self.dtype, name="backbone")
         self.fc = nn.Dense(self.num_classes, dtype=jnp.float32, name="fc")
-        # fixed sketches, reference seeds (CBCNN.py:76-94): h seeds 1/5, s 3/7
-        self.sketch1 = jnp.asarray(
-            make_sketch_matrix(self.input_channel, self.output_channel, 1, 3))
-        self.sketch2 = jnp.asarray(
-            make_sketch_matrix(self.input_channel, self.output_channel, 5, 7))
+        # fixed sketches, reference seeds (CBCNN.py:76-94): h seeds 1/5,
+        # s 3/7. Kept as HOST numpy arrays so compact_bilinear_pool can
+        # precompute their rfft on host (a traced rfft of a constant is a
+        # per-step device FFT — XLA can't fold fft custom-calls)
+        self.sketch1 = make_sketch_matrix(
+            self.input_channel, self.output_channel, 1, 3)
+        self.sketch2 = make_sketch_matrix(
+            self.input_channel, self.output_channel, 5, 7)
 
     def __call__(self, x, train: bool = False):
         # post-pool5 map, matching the reference's full-features backbone

@@ -55,6 +55,25 @@ def make_sketch_matrix(in_dim: int, out_dim: int, seed_h: int, seed_s: int,
     return m
 
 
+class _Spectrum:
+    """Host-precomputed rfft of a fixed sketch matrix (.real/.imag are
+    numpy f32 — they embed as literal constants under jit)."""
+
+    __slots__ = ("real", "imag")
+
+    def __init__(self, real, imag):
+        self.real, self.imag = real, imag
+
+
+def _spectrum(sketch):
+    if isinstance(sketch, np.ndarray):
+        f = np.fft.rfft(sketch.astype(np.float32), axis=-1)
+        return _Spectrum(f.real.astype(np.float32),
+                         f.imag.astype(np.float32))
+    # traced/device input (tests, dynamic sketches): on-device FFT
+    return jnp.fft.rfft(sketch.astype(jnp.float32), axis=-1)
+
+
 def compact_bilinear_pool(features, sketch1, sketch2, *, signed_sqrt=True,
                           l2_normalize=True, eps=1e-10, via_gram=True):
     # eps default matches the reference's signed sqrt (CBCNN.py:133)
@@ -69,20 +88,30 @@ def compact_bilinear_pool(features, sketch1, sketch2, *, signed_sqrt=True,
     b, h, w, c = features.shape
     d = sketch1.shape[1]
     x = features.reshape(b, h * w, c).astype(jnp.float32)
-    # rfft of the FIXED sketches (constant-folded under jit): [C, d//2+1]
-    fs1 = jnp.fft.rfft(sketch1.astype(jnp.float32), axis=-1)
-    fs2 = jnp.fft.rfft(sketch2.astype(jnp.float32), axis=-1)
+    # rfft of the FIXED sketches: [C, d//2+1]. MUST happen on host (numpy)
+    # when the sketch is a host array: XLA lowers fft to a custom-call it
+    # cannot constant-fold, so a traced jnp.fft.rfft of the constant sketch
+    # re-ran every step — profiled at ~11 ms/step (14.5%) of the CBCNN
+    # recipe step before this was hoisted.
+    fs1 = _spectrum(sketch1)
+    fs2 = _spectrum(sketch2)
     if via_gram:
         gram = jax.lax.dot_general(
             x, x, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)  # [B, C, C]
-        wr = gram @ fs2.real  # [B, C, K]  (MXU)
-        wi = gram @ fs2.imag
-        # V̂[f] = ŝ1[:,f]ᵀ (M ŝ2[:,f]): contraction over C, frequency-batched
-        sr = jnp.einsum("ck,bck->bk", fs1.real, wr) - \
-            jnp.einsum("ck,bck->bk", fs1.imag, wi)
-        si = jnp.einsum("ck,bck->bk", fs1.real, wi) + \
-            jnp.einsum("ck,bck->bk", fs1.imag, wr)
+        # W[k,b,d] = Σ_c ŝ2[c,k]·M[b,c,d] — one dot_general whose output
+        # order is exactly (lhs free K, rhs free B,D): the per-frequency
+        # contraction below then reduces over the MINOR (lane) axis d.
+        # (The earlier [B,C,K] form reduced over the middle axis — profiled
+        # at ~130 GB/s effective on the VPU, ~4 ms/step at the recipe shape.)
+        wr = jnp.einsum("ck,bcd->kbd", fs2.real, gram)  # [K, B, C]  (MXU)
+        wi = jnp.einsum("ck,bcd->kbd", fs2.imag, gram)
+        # V̂[f] = ŝ1[:,f]ᵀ (M ŝ2[:,f]): frequency-diagonal, so elementwise×
+        # lane-reduce, not a matmul; M symmetric ⇒ ŝ2-side W works for both
+        s1r = fs1.real.T[:, None, :]  # [K, 1, C]
+        s1i = fs1.imag.T[:, None, :]
+        sr = (s1r * wr - s1i * wi).sum(-1).T  # [B, K]
+        si = (s1r * wi + s1i * wr).sum(-1).T
     else:
         f1r, f1i = x @ fs1.real, x @ fs1.imag  # [B, HW, K]  (MXU)
         f2r, f2i = x @ fs2.real, x @ fs2.imag
