@@ -83,8 +83,14 @@ def save_model(path, variables, async_write=False):
 
     ``async_write=True`` snapshots to host synchronously and moves
     serialization + disk IO to a background thread (large models; see
-    ``wait_for_pending_writes``)."""
-    host = _to_host(dict(variables))
+    ``wait_for_pending_writes``).
+
+    Collections named ``*_cache`` are derived constants (e.g. CBCNN's
+    precomputed inverse-rDFT matrices, ~72 MB) — deterministic functions of
+    the model config, re-created at init. They are skipped on save;
+    ``load_model``'s partial merge keeps the freshly-initialized value."""
+    host = _to_host({k: v for k, v in dict(variables).items()
+                     if not str(k).endswith("_cache")})
 
     def write():
         tmp = path + ".tmp"
@@ -137,7 +143,10 @@ def save_checkpoint(path, *, epoch, variables, opt_state, scheduler_state=None,
     """Full training state (model + optimizer + scheduler + counters)."""
     payload = {
         "epoch": np.asarray(epoch),
-        "variables": _to_host(dict(variables)),
+        # *_cache collections are derived constants — see save_model;
+        # load_checkpoint keeps the target's init value for absent ones
+        "variables": _to_host({k: v for k, v in dict(variables).items()
+                               if not str(k).endswith("_cache")}),
         "opt_state": _to_host(serialization.to_state_dict(opt_state)),
     }
     meta = {"scheduler": scheduler_state or {}, "extra": extra or {}}

@@ -15,7 +15,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ...ops.cbp import compact_bilinear_pool, make_sketch_matrix
+from ...ops.cbp import (compact_bilinear_pool, make_irdft_half,
+                        make_sketch_matrix)
 from ...registry import BACKBONE, MODEL
 
 
@@ -39,6 +40,15 @@ class CBCNN(nn.Module):
             self.input_channel, self.output_channel, 1, 3)
         self.sketch2 = make_sketch_matrix(
             self.input_channel, self.output_channel, 5, 7)
+        # inverse-rDFT matrices as a DEVICE-RESIDENT variable collection
+        # (TPU fft custom-calls are slow, and jit literal constants this
+        # size are re-staged per dispatch on remote runtimes — cbp.py).
+        # ``*_cache`` collections are derived constants: checkpointing
+        # skips them and re-derives at init (engine/checkpoint.py).
+        self.irdft = self.variable(
+            "fourier_cache", "irdft",
+            lambda: tuple(jnp.asarray(m)
+                          for m in make_irdft_half(self.output_channel)))
 
     def __call__(self, x, train: bool = False):
         # post-pool5 map, matching the reference's full-features backbone
@@ -46,7 +56,8 @@ class CBCNN(nn.Module):
         feats = self.backbone(x, train=train)["pooled_features"]
         if self.stage == 1:
             feats = jax.lax.stop_gradient(feats)
-        v = compact_bilinear_pool(feats, self.sketch1, self.sketch2)
+        v = compact_bilinear_pool(feats, self.sketch1, self.sketch2,
+                                  irdft=self.irdft.value)
         return {"logits": self.fc(v), "features": v}
 
 

@@ -55,6 +55,50 @@ def make_sketch_matrix(in_dim: int, out_dim: int, seed_h: int, seed_s: int,
     return m
 
 
+def make_irdft_half(d: int):
+    """Half-spectrum inverse-rDFT matrices for an even length d.
+
+    The TPU has no fast FFT: XLA lowers ``irfft`` to a custom-call measured
+    at ~6 ms/step for the CBCNN recipe's [16, 6000] spectra (fwd irfft +
+    bwd rfft together ~5.8 ms of the 65 ms step). Since the length is fixed,
+    the transform is just a matmul — and the rDFT symmetry
+    ``cos θ_{f,d-t} = cos θ_{f,t}``, ``sin θ_{f,d-t} = -sin θ_{f,t}`` lets
+    both output halves share ONE [K, K] cosine and ONE [K, K] sine matrix
+    (K = d//2+1):
+
+        P = sr @ C,  Q = si @ S          # [B, K] each
+        v[0:K]   = P + Q
+        v[d-t]   = P[t] - Q[t],  t = 1..K-2   (i.e. reversed (P-Q)[1:K-1])
+
+    with C[f,t] = w_f cos(2πft/d)/d, S[f,t] = -w_f sin(2πft/d)/d and
+    w_f = 2 except w_0 = w_{K-1} = 1. Returns (C, S) as np.float32 —
+    pass them to ``compact_bilinear_pool(irdft=...)`` as DEVICE-RESIDENT
+    buffers (flax variables / function arguments), NOT trace-time
+    constants: jit'd literal constants of this size are re-staged every
+    dispatch on remote runtimes."""
+    assert d % 2 == 0, "irdft matmul path assumes even length"
+    k = d // 2 + 1
+    f = np.arange(k, dtype=np.float64)[:, None]
+    t = np.arange(k, dtype=np.float64)[None, :]
+    w = np.full((k, 1), 2.0)
+    w[0, 0] = 1.0
+    w[-1, 0] = 1.0
+    ang = 2.0 * np.pi * f * t / d
+    cos_m = (np.cos(ang) * w / d).astype(np.float32)
+    sin_m = (-np.sin(ang) * w / d).astype(np.float32)
+    return cos_m, sin_m
+
+
+def _irdft_apply(sr, si, irdft):
+    cos_m, sin_m = irdft
+    k = sr.shape[-1]
+    p = sr @ cos_m  # [B, K]
+    q = si @ sin_m
+    front = p + q                       # v[0 .. K-1]
+    back = (p - q)[:, 1:k - 1][:, ::-1]  # v[K .. d-1] reversed symmetry
+    return jnp.concatenate([front, back], axis=-1)
+
+
 class _Spectrum:
     """Host-precomputed rfft of a fixed sketch matrix (.real/.imag are
     numpy f32 — they embed as literal constants under jit)."""
@@ -75,7 +119,8 @@ def _spectrum(sketch):
 
 
 def compact_bilinear_pool(features, sketch1, sketch2, *, signed_sqrt=True,
-                          l2_normalize=True, eps=1e-10, via_gram=True):
+                          l2_normalize=True, eps=1e-10, via_gram=True,
+                          irdft=None):
     # eps default matches the reference's signed sqrt (CBCNN.py:133)
     """[B, H, W, C] → [B, d] compact bilinear descriptor.
 
@@ -118,7 +163,12 @@ def compact_bilinear_pool(features, sketch1, sketch2, *, signed_sqrt=True,
         # per-position complex product, sum-pooled over positions
         sr = (f1r * f2r - f1i * f2i).sum(axis=1)  # [B, K]
         si = (f1r * f2i + f1i * f2r).sum(axis=1)
-    v = jnp.fft.irfft(jax.lax.complex(sr, si), n=d, axis=-1)  # [B, d]
+    if irdft is not None:
+        # fixed-length inverse transform as two MXU matmuls
+        # (make_irdft_half); matrices must be device-resident buffers
+        v = _irdft_apply(sr, si, irdft)  # [B, d]
+    else:
+        v = jnp.fft.irfft(jax.lax.complex(sr, si), n=d, axis=-1)  # [B, d]
     if signed_sqrt:
         v = jnp.sign(v) * jnp.sqrt(jnp.abs(v) + eps)
     if l2_normalize:
