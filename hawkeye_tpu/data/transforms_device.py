@@ -24,6 +24,11 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.resample import crop_resize_bilinear
+# module-level import, NOT lazily inside the jitted augment: importing a
+# module under an active trace creates its module-level jnp constants as
+# values owned by that trace — later traces then see a leaked tracer
+# (order-dependent UnexpectedTracerError, found via test_device_pipeline)
+from .ta_wide_device import ta_wide
 
 IMAGENET_MEAN = jnp.array([0.485, 0.456, 0.406], jnp.float32)
 IMAGENET_STD = jnp.array([0.229, 0.224, 0.225], jnp.float32)
@@ -104,12 +109,15 @@ def make_train_augment(image_size: int, hflip_prob=0.5, erase_prob=0.1,
         k_box, k_flip, k_ta, k_erase = jax.random.split(key, 4)
         imgs = batch_u8.astype(compute_dtype) / 255.0
         boxes = sample_rrc_boxes(k_box, b, h, w, scale, ratio)
+        # hflip folds into the crop-resample x-weights (bit-exact vs
+        # flipping afterwards; saves the full-image rev + layout copies —
+        # see crop_resize_bilinear)
+        flip_mask = jax.random.bernoulli(k_flip, hflip_prob, (b,)) \
+            if hflip_prob > 0 else None
         out = crop_resize_bilinear(imgs, boxes, image_size, image_size,
-                                   dtype=compute_dtype)
-        out = hflip(k_flip, out, hflip_prob)
+                                   dtype=compute_dtype,
+                                   flip_x_mask=flip_mask)
         if auto_augment == "ta_wide":
-            from .ta_wide_device import ta_wide
-
             out = ta_wide(k_ta, out.astype(jnp.float32))
         out = normalize(out.astype(jnp.float32), mean, std)
         if erase_prob > 0:

