@@ -58,7 +58,10 @@ def method_step_flops(method, batch_size=None):
     lr = jax.numpy.asarray(1e-4, jax.numpy.float32)
     args = (trainer.state, device_batch, lr, *trainer.step_extras())
     abstract = jax.tree.map(
-        lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype),
+        # device arrays carry .dtype — don't np.asarray() them (host
+        # materialization; fails for non-addressable sharded leaves)
+        lambda x: jax.ShapeDtypeStruct(
+            np.shape(x), getattr(x, "dtype", None) or np.asarray(x).dtype),
         args)
     step = trainer.train_step_body()
     stats = jax.jit(step).lower(*abstract).cost_analysis()

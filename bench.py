@@ -186,15 +186,17 @@ def measure_train(model, B, S, steps, warmup, *, remat=False, no_aug=False,
         # capture the steady-state timed loop itself (tools/xplane_table.py
         # turns the .xplane.pb into the per-fusion roofline table)
         jax.profiler.start_trace(profile_dir)
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        key, k = jax.random.split(key)
-        params, batch_stats, opt_state, loss = train_step(
-            params, batch_stats, opt_state, k, raw, labels)
-    final_loss = float(loss)
-    dt = time.perf_counter() - t0
-    if profile_dir:
-        jax.profiler.stop_trace()
+    try:
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            key, k = jax.random.split(key)
+            params, batch_stats, opt_state, loss = train_step(
+                params, batch_stats, opt_state, k, raw, labels)
+        final_loss = float(loss)
+        dt = time.perf_counter() - t0
+    finally:
+        if profile_dir:
+            jax.profiler.stop_trace()
     if final_loss == warm_loss:
         raise RuntimeError("loss did not change over the timed steps — "
                            "suspected runtime replay; measurement invalid")

@@ -90,10 +90,15 @@ def make_irdft_half(d: int):
 
 
 def _irdft_apply(sr, si, irdft):
+    # HIGHEST precision: these matmuls replace an EXACT f32 irfft
+    # custom-call; default (bf16-pass) precision showed ~1e-3 abs deviation
+    # on O(1) inputs. The [B,K]@[K,K] products are HBM-bound on the 36 MB
+    # weight read, so the extra passes are ~free (rel err now 4.5e-7).
     cos_m, sin_m = irdft
     k = sr.shape[-1]
-    p = sr @ cos_m  # [B, K]
-    q = si @ sin_m
+    hi = jax.lax.Precision.HIGHEST
+    p = jnp.matmul(sr, cos_m, precision=hi)  # [B, K]
+    q = jnp.matmul(si, sin_m, precision=hi)
     front = p + q                       # v[0 .. K-1]
     back = (p - q)[:, 1:k - 1][:, ::-1]  # v[K .. d-1] reversed symmetry
     return jnp.concatenate([front, back], axis=-1)

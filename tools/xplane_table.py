@@ -50,7 +50,15 @@ def aggregate(plane):
     # step, "Async XLA Ops" (copy-start etc.) overlap compute — summing any
     # of those double-counts
     op_lines = [l for l in plane.lines if l.name == "XLA Ops"]
-    for line in op_lines or plane.lines:
+    if not op_lines:
+        # never sum every line (Steps/Modules/Async overlap the op events);
+        # fall back to the single busiest line as a best guess, loudly
+        best = max(plane.lines, key=lambda l: len(l.events), default=None)
+        print(f"WARNING: no 'XLA Ops' line on plane {plane.name!r}; "
+              f"using line {best.name!r} only — treat ms/pct as approximate",
+              file=sys.stderr)
+        op_lines = [best] if best is not None else []
+    for line in op_lines:
         for ev in line.events:
             md = plane.event_metadata.get(ev.metadata_id)
             name = md.name if md else str(ev.metadata_id)
@@ -62,10 +70,8 @@ def aggregate(plane):
                 val = (st.double_value or st.uint64_value or st.int64_value)
                 if isinstance(val, (int, float)) and val:
                     row["stats"][sname] = row["stats"].get(sname, 0) + val
-    # fold metadata-level stats (flops / bytes are often on XEventMetadata,
-    # counted once per occurrence)
-    for name, row in rows.items():
-        pass
+    # metadata-level stats (flops / bytes often live on XEventMetadata,
+    # counted once per occurrence — folded in by the caller via md_stats)
     md_stats = {}
     for key in plane.event_metadata:
         md = plane.event_metadata[key]
