@@ -30,6 +30,8 @@ class MPN(nn.Module):
     is_vec: bool = True
     dimension_reduction: int | None = 256
     backbone_name: str = "resnet50"
+    # A/B knob for ops/isqrt.py's [2B,C,C] coupled-pair bmm (round 5)
+    coupled_newton_schulz: bool = True
     dtype: Any = jnp.bfloat16
 
     def setup(self):
@@ -51,7 +53,9 @@ class MPN(nn.Module):
             feats = nn.relu(feats)
         cov = covariance_pool(feats)  # [B, C, C] f32
         if self.is_sqrt:
-            cov = newton_schulz_sqrt(cov, self.iter_num)
+            cov = newton_schulz_sqrt(
+                cov, self.iter_num,
+                coupled_batched=self.coupled_newton_schulz)
         if self.is_vec:
             v = triu_vec(cov)
         else:
@@ -68,4 +72,5 @@ def build_mpn(config):
         is_vec=bool(config.get("is_vec", True)),
         dimension_reduction=config.get("dimension_reduction", 256),
         backbone_name=config.get("backbone", "resnet50"),
+        coupled_newton_schulz=bool(config.get("coupled_newton_schulz", True)),
     )

@@ -15,8 +15,11 @@ adjacency is a baked constant and suppression is a masked-argmax
 (``ops/resample.crop_resize_multibox``) — no host round trip, no Python
 loops, one compiled program.
 
-Fused part pass (``fused_part_pass``, OPT-IN, measured a loss at the
-recipe shape): the reference runs the backbone twice per step — global
+Fused part pass (``fused_part_pass``, OPT-IN, measured a LOSS at the
+recipe shape — TPU A/B at 224²/bs4/M=6, v5e, round 4: sequential
+254.6 img/s vs fused 164.6 img/s; phase A's extra B stop-gradient forward
+costs more than the fill it buys): the reference runs the backbone twice
+per step — global
 batch B, then the B·M part crops (``NTSNet.py:43-57``). Since the part
 crops are detached (``part_imgs.detach()``) and the proposal scores consume
 a detached c5, the only live data dependency is the global FORWARD → crop

@@ -13,6 +13,13 @@ to XLA (measured 83 TF/s — the [HW-contraction → 9·C²] shape has no
 forward-form rewrite). Used by the VGG trunk for its 64→64 block-1 conv
 (reference ``model/backbone/vgg.py:36-44``); deeper convs already run at
 180+ TF/s, where the rewrite is a wash.
+
+Status (round 4 A/B, v5e, BCNN 448² bs128 with the argmax-index pool
+kernels ON): 379.7 img/s (off) vs 380.0 img/s (on) — a WASH at HEAD: the
+pool kernels freed the memory pressure that made dgrad the bottleneck.
+Default OFF (``model.fast_dgrad``), kept parity-tested
+(``tests/test_conv_op.py``) for shapes where dgrad returns to the critical
+path.
 """
 
 from __future__ import annotations

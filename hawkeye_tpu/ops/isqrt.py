@@ -37,12 +37,20 @@ def covariance_pool(features):
     return cov
 
 
-def newton_schulz_sqrt(mats, num_iters: int = 5):
+def newton_schulz_sqrt(mats, num_iters: int = 5, coupled_batched: bool = True):
     """Batched matrix square root via coupled Newton–Schulz.
 
     mats: [B, C, C] SPD matrices (f32). Returns [B, C, C] ≈ mats^(1/2).
     Pre-normalizes by trace so the iteration converges; post-compensates by
     sqrt(trace) (reference ``Sqrtm`` forward, ``MPNCOV.py:137-170``).
+
+    ``coupled_batched`` (default on) computes the two independent products
+    of each iteration — Y·T and T·Z — as ONE [2B, C, C] bmm instead of two
+    [B, C, C] bmms: at the recipe's bs8 each 256×256 bmm is ~µs of MXU work,
+    so halving the kernel count of the dependent chain (and doubling its
+    batch fill) matters more than the two tiny concats it adds. Numerically
+    identical (batch is an outer dim; per-element accumulation order is
+    unchanged — pinned in tests/test_highorder_ops.py).
     """
     mats = mats.astype(jnp.float32)
     b, c, _ = mats.shape
@@ -59,6 +67,10 @@ def newton_schulz_sqrt(mats, num_iters: int = 5):
     def body(_, carry):
         y, z = carry
         t = 0.5 * (3.0 * ident - bmm(z, y))
+        if coupled_batched:
+            out = bmm(jnp.concatenate([y, t], axis=0),
+                      jnp.concatenate([t, z], axis=0))
+            return out[:b], out[b:]
         return bmm(y, t), bmm(t, z)
 
     y0 = a

@@ -144,3 +144,22 @@ def test_triu_vec():
     m = jnp.arange(9.0).reshape(1, 3, 3)
     v = np.asarray(triu_vec(m))
     np.testing.assert_array_equal(v[0], [0, 1, 2, 4, 5, 8])
+
+
+def test_newton_schulz_coupled_batched_matches_sequential():
+    """The [2B,C,C] coupled-pair bmm (round-5 MPN dispatch cut) must be
+    numerically identical to the two separate [B,C,C] bmms — value AND
+    gradient (the chain is differentiated by autodiff)."""
+    rng = np.random.RandomState(5)
+    x = rng.randn(3, 12, 16).astype(np.float32)
+    spd = np.einsum("bik,bjk->bij", x, x) + 0.1 * np.eye(12, dtype=np.float32)
+    mats = jnp.asarray(spd)
+
+    def loss(m, coupled):
+        return jnp.sum(newton_schulz_sqrt(m, 5, coupled_batched=coupled) ** 2)
+
+    v1, g1 = jax.value_and_grad(lambda m: loss(m, True))(mats)
+    v2, g2 = jax.value_and_grad(lambda m: loss(m, False))(mats)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5,
+                               atol=1e-6)

@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--warmup", type=int, default=5)
     ap.add_argument("--dtype", choices=["f32", "bf16"], default="f32")
+    ap.add_argument("--inner", type=int, default=10,
+                    help="fori_loop sweeps per dispatch")
     args = ap.parse_args()
 
     import jax
@@ -48,30 +50,52 @@ def main():
 
     x = jnp.ones(shape, dtype)
     y = jnp.zeros(shape, dtype)
+    K = args.inner  # sweeps per dispatch: amortizes tunnel dispatch cost
+    # (first cut ran ONE sweep per dispatch and read 415/565 GB/s — the
+    # ~2-3 ms remote-dispatch overhead on an ~11 ms kernel, not the wall)
+
+    def _s_i(s, i):
+        # per-iteration jitter computed in f32 (1e-8 underflows in bf16,
+        # which would let XLA fold the K multiplies into one) then cast
+        return (s.astype(jnp.float32) + 1e-8 * i).astype(dtype)
 
     @jax.jit
-    def copy(x, s):
-        return x * s
+    def copy_loop(x, s):
+        # ping-pong x = x * s, K times: 2 moves (read+write) per sweep
+        def body(i, x):
+            return x * _s_i(s, i)
+        return jax.lax.fori_loop(0, K, body, x)
 
     @jax.jit
-    def triad(x, y, s):
-        return s * x + y
+    def triad_loop(x, y, s):
+        # y = s*x + y, K times: 3 moves per sweep
+        def body(i, y):
+            return _s_i(s, i) * x + y
+        return jax.lax.fori_loop(0, K, body, y)
 
-    def run(label, fn, buffers, moves):
-        """moves = number of N-sized HBM transfers the kernel performs."""
+    @jax.jit
+    def read_loop(x, s):
+        # read-only stream: per-row max folded into a [minor]-wide carry,
+        # 1 move (read N) per sweep
+        def body(i, acc):
+            return acc + jnp.max(x * _s_i(s, i), axis=0)
+        return jax.lax.fori_loop(0, K, body, jnp.zeros((shape[1],), dtype))
+
+    def run(fn, buffers, moves):
+        """moves = N-sized HBM transfers per sweep (K sweeps per dispatch)."""
         out = None
         for i in range(args.warmup):
             s = jnp.asarray(1.0 + 1e-7 * i, dtype)
             out = fn(*buffers, s)
         # fetch one data-dependent element: forces remote execution
-        float(out[0, 0])
+        float(out.reshape(-1)[0])
         t0 = time.perf_counter()
         for i in range(args.steps):
             s = jnp.asarray(1.0 + 1e-7 * (args.warmup + i), dtype)
             out = fn(*buffers, s)
-        float(out[0, 0])
+        float(out.reshape(-1)[0])
         dt = time.perf_counter() - t0
-        gbs = moves * nbytes * args.steps / dt / 1e9
+        gbs = moves * K * nbytes * args.steps / dt / 1e9
         return round(gbs, 1)
 
     results = {
@@ -79,11 +103,14 @@ def main():
         "buffer_gib": round(nbytes / (1 << 30), 3),
         "dtype": args.dtype,
         "steps": args.steps,
+        "sweeps_per_dispatch": K,
         "device": str(jax.devices()[0]),
-        "copy_gb_s": run("copy", copy, (x,), 2),
-        "triad_gb_s": run("triad", triad, (x, y), 3),
+        "copy_gb_s": run(copy_loop, (x,), 2),
+        "triad_gb_s": run(triad_loop, (x, y), 3),
+        "read_gb_s": run(read_loop, (x,), 1),
     }
-    results["value"] = max(results["copy_gb_s"], results["triad_gb_s"])
+    results["value"] = max(results["copy_gb_s"], results["triad_gb_s"],
+                           results["read_gb_s"])
     results["unit"] = "GB/s"
     print(json.dumps(results))
 
