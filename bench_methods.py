@@ -69,8 +69,20 @@ def _bench_config(config_path, batch_size=None, block=1, model_kv=()):
     ds["num_workers"] = 0
     if batch_size:
         ds["batch_size"] = int(batch_size)
-    # enough samples that balanced samplers can fill one batch
-    ds["length"] = max(2 * int(ds["batch_size"]), 512)
+    # enough samples that balanced samplers can fill the RECIPE batch: the
+    # P×K cursor truncates a class to the items it actually has, so with 512
+    # synthetic items over 200 classes (~2.5/class) an n_samples=5 recipe
+    # (CIN 4×5=20) was silently benched at ~10 images/step (round-5 finding —
+    # depressed the CIN/OSMENet/APINet matrix rows)
+    need = 512
+    if "n_samples" in ds:
+        # 4× margin: labels are drawn iid-uniform, so 2× the mean still
+        # leaves ~7% of classes short of n_samples (measured: OSME filled
+        # 9/10 at 2×, and batch-9 is a lane-hostile shape — 1.58 vs
+        # 1.30 ms/img)
+        ncls = int(ds.get("num_classes", raw["model"].get("num_classes", 200)))
+        need = 4 * int(ds["n_samples"]) * ncls
+    ds["length"] = max(2 * int(ds["batch_size"]), need)
     raw["model"].pop("load", None)
     raw["model"].pop("pretrain", None)
     if isinstance(raw["model"].get("backbone"), dict):
