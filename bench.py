@@ -37,7 +37,13 @@ V5E_PEAK_FLOP_S = 197e12  # TPU v5e bf16 MXU peak (per chip)
 # 197.6 ms, plus 14.2 ms of MXU-bound excess ⇒ ~212 ms ⇒ ~604 img/s.
 # BCNN bs128: same closure from its own profile (RESULTS.md round-5).
 R50_CEILING_IMG_S = 604.0
-BCNN_CEILING_IMG_S = None  # set from the round-5 BCNN roofline closure
+# BCNN bs128 (round-5 10-step capture): 333.5 ms/step device, 46.7 TF +
+# 92.2 GB per step; per-op floor at max(flops/197TF, bytes/740GB) = 272.6 ms
+# -> 469.6 img/s. OPTIMISTIC: ~101 ms of the step is f32-accumulating wgrad
+# fusions measured at ~96 TF/s (at/near the f32 issue bound, not the bf16
+# peak the floor assumes), so the true ceiling is materially lower and
+# vs_ceiling here UNDERSTATES efficiency. HEAD 382.7 = 0.81x this bound.
+BCNN_CEILING_IMG_S = 469.6
 
 
 def _step_flops(fn, abstract):
