@@ -14,6 +14,10 @@ import jax.numpy as jnp
 
 import hawkeye_tpu.models  # noqa: F401
 
+# In the default tier (part of its measured ~62 min); deselectable for the
+# quick tier with -m "not slow and not parity" (see pytest.ini).
+pytestmark = pytest.mark.parity
+
 from refutil import RefCfg, load_reference
 
 torch = pytest.importorskip("torch")

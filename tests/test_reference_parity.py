@@ -18,6 +18,10 @@ import jax.numpy as jnp
 
 import hawkeye_tpu.models  # noqa: F401
 
+# In the default tier (part of its measured ~62 min); deselectable for the
+# quick tier with -m "not slow and not parity" (see pytest.ini).
+pytestmark = pytest.mark.parity
+
 from refutil import (
     RefCfg,
     bn,
